@@ -1,0 +1,226 @@
+"""Pure-Python BM25 oracle — the independent judge for the Spark engine.
+
+Implements the same query semantics as plans/lowering.py over plain Python
+dicts, from the tokenizer spec alone (no Spark).  Used by pytest golden
+tests (FIXTURES.md): expected top-k = oracle top-k, ties by ascending
+doc_id (src/Lucene.Net/Search/HitQueue.cs:87-93).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from ..analysis.tokenizers import tokenize
+from ..plans import ast
+from ..plans.lowering import wildcard_to_regex
+
+K1 = 1.2
+B = 0.75
+SCORE_DECIMALS = 6
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+class OracleIndex:
+    def __init__(self):
+        # field -> term -> {doc_id: tf}
+        self.post: dict[str, dict[str, dict[int, int]]] = defaultdict(
+            lambda: defaultdict(dict)
+        )
+        # field -> term -> {doc_id: [positions]}
+        self.pos: dict[str, dict[str, dict[int, list[int]]]] = defaultdict(
+            lambda: defaultdict(dict)
+        )
+        self.dl: dict[str, dict[int, int]] = defaultdict(dict)  # field -> doc -> len
+        self.docs: dict[int, dict] = {}
+        self.n_docs = 0
+        self.total_tokens = 0  # over the primary field
+        self.primary_field = "text"
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.n_docs if self.n_docs else 0.0
+
+    def add(self, doc_id: int, fields: dict[str, str], lang: str | None = None,
+            keyword_fields: dict[str, str] | None = None) -> None:
+        self.docs[doc_id] = {**fields, **(keyword_fields or {})}
+        self.n_docs += 1
+        for fname, text in fields.items():
+            toks = tokenize(text, lang)
+            self.dl[fname][doc_id] = len(toks)
+            if fname == self.primary_field:
+                self.total_tokens += len(toks)
+            tf = Counter(t for t, _ in toks)
+            for t, c in tf.items():
+                self.post[fname][t][doc_id] = c
+            for t, p in toks:
+                self.pos[fname][t].setdefault(doc_id, []).append(p)
+        for fname, val in (keyword_fields or {}).items():
+            if val is None:
+                continue
+            self.post[fname][str(val)][doc_id] = 1
+            self.pos[fname][str(val)][doc_id] = [0]
+            self.dl[fname][doc_id] = 1
+
+    # ---- scoring
+
+    def idf(self, field: str, term: str) -> float:
+        df = len(self.post[field].get(term, {}))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def tf_norm(self, tf: float, dl: int) -> float:
+        return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+
+    def score_map(self, q: ast.Query) -> dict[int, float]:
+        q = ast.rewrite(q)
+        if isinstance(q, ast.Term):
+            plist = self.post[q.field].get(q.term, {})
+            w = self.idf(q.field, q.term) * q.boost
+            return {
+                d: w * self.tf_norm(tf, self.dl[q.field][d])
+                for d, tf in plist.items()
+            }
+        if isinstance(q, ast.Bool):
+            must = [self.score_map(c) for c in q.must]
+            should = [self.score_map(c) for c in q.should]
+            nots = [set(self.score_map(c)) for c in q.must_not]
+            cand: set[int]
+            if must:
+                cand = set(must[0])
+                for m in must[1:]:
+                    cand &= set(m)
+            else:
+                cand = set()
+                for s in should:
+                    cand |= set(s)
+            msm = q.min_should_match
+            if q.should and not q.must and msm < 1:
+                msm = 1
+            out = {}
+            for d in cand:
+                ns = sum(1 for s in should if d in s)
+                if ns < msm:
+                    continue
+                if any(d in nt for nt in nots):
+                    continue
+                sc = sum(m[d] for m in must) + sum(s.get(d, 0.0) for s in should)
+                out[d] = sc * q.boost
+            return out
+        if isinstance(q, ast.DisMax):
+            subs = [self.score_map(c) for c in q.queries]
+            out = {}
+            for d in set().union(*[set(s) for s in subs]) if subs else set():
+                vals = [s[d] for s in subs if d in s]
+                out[d] = (max(vals) + q.tie * (sum(vals) - max(vals))) * q.boost
+            return out
+        if isinstance(q, ast.Phrase):
+            return self._phrase_scores(q)
+        if isinstance(q, ast.MatchAll):
+            return {d: q.boost for d in self.docs}
+        if isinstance(q, ast.ConstantScore):
+            return {d: q.boost for d in self.score_map(q.query)}
+        if isinstance(q, ast.Filtered):
+            # SQL predicate strings are validated in the DuckDB parity tests;
+            # the python oracle supports callable predicates over stored docs.
+            if callable(q.predicate):
+                inner = self.score_map(q.query)
+                return {d: s for d, s in inner.items() if q.predicate(self.docs[d])}
+            raise NotImplementedError("string Filtered predicates: SQL tests only")
+        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange)):
+            terms = self._expand(q)
+            docs = set()
+            for t in terms:
+                docs |= set(self.post[q.field].get(t, {}))
+            return {d: q.boost for d in docs}
+        if isinstance(q, ast.Fuzzy):
+            return self._fuzzy_scores(q)
+        raise NotImplementedError(type(q).__name__)
+
+    def _expand(self, q: ast.Query) -> list[str]:
+        terms = self.post[q.field].keys()
+        if isinstance(q, ast.Prefix):
+            return [t for t in terms if t.startswith(q.prefix)]
+        if isinstance(q, ast.Wildcard):
+            rx = re.compile(wildcard_to_regex(q.pattern))
+            return [t for t in terms if rx.match(t)]
+        if isinstance(q, ast.TermRange):
+            out = []
+            for t in terms:
+                if q.lower is not None:
+                    if t < q.lower or (t == q.lower and not q.include_lower):
+                        continue
+                if q.upper is not None:
+                    if t > q.upper or (t == q.upper and not q.include_upper):
+                        continue
+                out.append(t)
+            return out
+        raise NotImplementedError
+
+    def _fuzzy_scores(self, q: ast.Fuzzy) -> dict[int, float]:
+        cands = []
+        for t in self.post[q.field]:
+            if q.prefix_length and not t.startswith(q.term[: q.prefix_length]):
+                continue
+            sim = 1.0 - _levenshtein(t, q.term) / min(len(t), len(q.term))
+            if sim >= q.min_similarity:
+                cands.append((t, sim))
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        cands = cands[: ast.MAX_CLAUSE_COUNT]
+        out: dict[int, float] = defaultdict(float)
+        for t, sim in cands:
+            tb = (sim - q.min_similarity) / (1.0 - q.min_similarity)
+            w = self.idf(q.field, t) * q.boost * tb
+            for d, tf in self.post[q.field][t].items():
+                out[d] += w * self.tf_norm(tf, self.dl[q.field][d])
+        return dict(out)
+
+    def _phrase_scores(self, q: ast.Phrase) -> dict[int, float]:
+        offsets = q.resolved_offsets()
+        for t in q.terms:
+            if t not in self.post[q.field]:
+                return {}
+        idf_sum = sum(self.idf(q.field, t) for t in q.terms)
+        cand = set(self.pos[q.field][q.terms[0]])
+        for t in q.terms[1:]:
+            cand &= set(self.pos[q.field][t])
+        out = {}
+        for d in cand:
+            shifted = [
+                {p - o for p in self.pos[q.field][t][d]}
+                for t, o in zip(q.terms, offsets)
+            ]
+            if q.slop == 0:
+                inter = set.intersection(*shifted)
+                freq = float(len(inter))
+            elif len(q.terms) == 2:
+                freq = 0.0
+                for p1 in shifted[0]:
+                    for p2 in shifted[1]:
+                        d12 = abs(p2 - p1)
+                        if d12 <= q.slop:
+                            freq += 1.0 / (1.0 + d12)
+            else:
+                raise NotImplementedError
+            if freq > 0:
+                out[d] = q.boost * idf_sum * self.tf_norm(freq, self.dl[q.field][d])
+        return out
+
+    # ---- collector
+
+    def top_k(self, q: ast.Query, k: int = 10) -> list[tuple[int, float]]:
+        scores = self.score_map(q)
+        items = [(d, round(s, SCORE_DECIMALS)) for d, s in scores.items()]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items[:k]

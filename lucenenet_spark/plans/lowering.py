@@ -1,0 +1,387 @@
+"""Lowering: Query AST -> Spark DataFrame plans (the Weight/Scorer layer).
+
+The reference's doc-at-a-time scorer tree (SURVEY.md §3.2) re-expressed
+set-oriented:
+
+- TermQuery/TermScorer  -> postings filter on (field,term) [parquet pushdown]
+                           + literal (df, N, avgdl) folded into the score
+                           expression (global-stats broadcast lemma,
+                           src/Lucene.Net/Search/MultiSearcher.cs:355-390)
+- BooleanScorer2        -> union of clause frames + ONE groupBy(doc_id):
+                           MUST = HAVING n_must == #musts (ConjunctionScorer),
+                           SHOULD = sum + HAVING n_should >= minShouldMatch
+                           (DisjunctionSumScorer), MUST_NOT = left_anti
+                           (ReqExclScorer).  BM25 drops coord.
+- PhraseQuery           -> positions-array alignment with higher-order
+                           functions (array_intersect of offset-shifted
+                           position lists) — all JVM-side.
+- MultiTermQuery family -> term-dictionary predicate; CONSTANT_SCORE
+                           rewrite = semi-join (no term enumeration),
+                           SCORING_BOOLEAN (fuzzy) = driver-collected
+                           expansion capped at 1024 clauses
+                           (src/Lucene.Net/Search/MultiTermQuery.cs:79-118).
+- top-k                 -> orderBy(score desc, doc_id asc).limit(k) ==
+                           TakeOrderedAndProject (per-partition heaps +
+                           driver merge), tie-break identical to
+                           src/Lucene.Net/Search/HitQueue.cs:87-93.
+
+Scores are doubles rounded to SCORE_DECIMALS before ordering so rank order
+is reproducible across partitionings and engines (float-sum associativity).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import bm25
+from ..index.builder import InvertedIndex
+from . import ast
+
+
+def _idf(df: int, n: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+class Searcher:
+    """IndexSearcher analogue over an InvertedIndex
+    (src/Lucene.Net/Search/IndexSearcher.cs)."""
+
+    def __init__(self, index: InvertedIndex):
+        self.index = index
+        self.spark = index.spark
+
+    # ------------------------------------------------------------------ api
+
+    def search(self, q: ast.Query, k: int = 10) -> DataFrame:
+        """TopDocs analogue: (doc_id, score) rows, score desc, ties by
+        ascending doc_id (HitQueue.cs:87-93)."""
+        frame = self.score_frame(ast.rewrite(q))
+        s = bm25.rounded(F.col("score"))
+        return (
+            frame.select(F.col("doc_id"), s.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def count(self, q: ast.Query) -> int:
+        """totalHits analogue."""
+        return self.score_frame(ast.rewrite(q)).count()
+
+    def facet_counts(self, q: ast.Query, facet_col: str) -> DataFrame:
+        """SimpleFacetedSearch analogue: facet counts over matching docs
+        (src/contrib/SimpleFacetedSearch/SimpleFacetedSearch.cs)."""
+        hits = self.score_frame(ast.rewrite(q)).select("doc_id")
+        stored = self.index.stored
+        return (
+            stored.join(hits, stored[self.index.id_col] == hits["doc_id"], "left_semi")
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("facet_count"))
+        )
+
+    def search_sorted(self, q: ast.Query, sort_exprs: list, k: int = 10) -> DataFrame:
+        """TopFieldCollector analogue: sort hits by stored-field expressions
+        (src/Lucene.Net/Search/TopFieldCollector.cs)."""
+        hits = self.score_frame(ast.rewrite(q)).select("doc_id")
+        stored = self.index.stored
+        joined = stored.join(
+            hits, stored[self.index.id_col] == hits["doc_id"], "left_semi"
+        )
+        return joined.orderBy(*sort_exprs).limit(k)
+
+    # ------------------------------------------------------- frame builders
+
+    def score_frame(self, q: ast.Query) -> DataFrame:
+        """(doc_id, score) for every matching doc."""
+        if isinstance(q, ast.Term):
+            return self._term_frame(q)
+        if isinstance(q, ast.Bool):
+            return self._bool_frame(q)
+        if isinstance(q, ast.Phrase):
+            return self._phrase_frame(q)
+        if isinstance(q, ast.DisMax):
+            return self._dismax_frame(q)
+        if isinstance(q, ast.MatchAll):
+            return self._matchall_frame(q)
+        if isinstance(q, ast.ConstantScore):
+            return self._constant_frame(q.query, q.boost)
+        if isinstance(q, ast.Filtered):
+            return self._filtered_frame(q)
+        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange)):
+            return self._constant_frame(q, q.boost)
+        if isinstance(q, ast.Fuzzy):
+            return self._fuzzy_frame(q)
+        raise NotImplementedError(type(q).__name__)
+
+    def match_frame(self, q: ast.Query) -> DataFrame:
+        """doc_id set only (Filter/DocIdSet analogue) — skips scoring where
+        the plan allows (constant-score semi-joins)."""
+        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange)):
+            return self._expand_match_ids(q)
+        return self.score_frame(q).select("doc_id")
+
+    # ---- leaves
+
+    def _term_df_map(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        """Collect global df for the query terms (one tiny job; the
+        CachedDfSource analogue, MultiSearcher.cs:87-118)."""
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        rows = (
+            self.index.postings.where(
+                F.col("field").isin(fields) & F.col("term").isin(terms)
+            )
+            .groupBy("field", "term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        )
+        got = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        return {p: got.get(p, 0) for p in pairs}
+
+    def _term_frame(self, q: ast.Term) -> DataFrame:
+        df = self._term_df_map([(q.field, q.term)])[(q.field, q.term)]
+        if df == 0:
+            return self._empty_frame()
+        p = self.index.postings.where(
+            (F.col("field") == q.field) & (F.col("term") == q.term)
+        )
+        score = bm25.term_score(
+            F.col("tf"), F.col("dl"), F.lit(df),
+            self.index.n_docs, self.index.avgdl, q.boost,
+        )
+        return p.select(F.col("doc_id"), score.alias("score"))
+
+    def _matchall_frame(self, q: ast.MatchAll) -> DataFrame:
+        stored = self.index.stored
+        if stored is not None:
+            ids = stored.select(F.col(self.index.id_col).alias("doc_id"))
+        else:
+            ids = self.index.postings.select("doc_id").distinct()
+        return ids.select("doc_id", F.lit(float(q.boost)).alias("score"))
+
+    # ---- boolean composition: ONE union + ONE groupBy(doc_id)
+
+    def _bool_frame(self, q: ast.Bool) -> DataFrame:
+        tagged = []
+        for c in q.must:
+            tagged.append(
+                self.score_frame(c).select(
+                    "doc_id", "score",
+                    F.lit(1).alias("m"), F.lit(0).alias("s"),
+                )
+            )
+        for c in q.should:
+            tagged.append(
+                self.score_frame(c).select(
+                    "doc_id", "score",
+                    F.lit(0).alias("m"), F.lit(1).alias("s"),
+                )
+            )
+        if not tagged:
+            return self._empty_frame()
+        u = tagged[0]
+        for t in tagged[1:]:
+            u = u.unionByName(t)
+        g = u.groupBy("doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("m").alias("n_must"),
+            F.sum("s").alias("n_should"),
+        )
+        if q.must:
+            g = g.where(F.col("n_must") == len(q.must))
+        msm = q.min_should_match
+        if q.should and not q.must and msm < 1:
+            msm = 1  # pure-disjunction: at least one SHOULD must match
+        if msm > 0:
+            g = g.where(F.col("n_should") >= msm)
+        out = g.select("doc_id", (F.col("score") * F.lit(float(q.boost))).alias("score"))
+        for c in q.must_not:
+            out = out.join(
+                self.match_frame(c).select("doc_id"), "doc_id", "left_anti"
+            )
+        return out
+
+    def _dismax_frame(self, q: ast.DisMax) -> DataFrame:
+        frames = [self.score_frame(c).select("doc_id", "score") for c in q.queries]
+        if not frames:
+            return self._empty_frame()
+        u = frames[0]
+        for t in frames[1:]:
+            u = u.unionByName(t)
+        g = u.groupBy("doc_id").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        score = (F.col("mx") + F.lit(float(q.tie)) * (F.col("sm") - F.col("mx"))) * F.lit(
+            float(q.boost)
+        )
+        return g.select("doc_id", score.alias("score"))
+
+    # ---- phrase
+
+    def _phrase_frame(self, q: ast.Phrase) -> DataFrame:
+        offsets = q.resolved_offsets()
+        pairs = [(q.field, t, int(o)) for t, o in zip(q.terms, offsets)]
+        dfm = self._term_df_map([(f, t) for f, t, _ in pairs])
+        if any(dfm[(f, t)] == 0 for f, t, _ in pairs):
+            return self._empty_frame()
+        idf_sum = sum(_idf(dfm[(f, t)], self.index.n_docs) for f, t, _ in pairs)
+
+        offdf = self.spark.createDataFrame(
+            pairs, "field string, term string, qoff int"
+        )
+        p = self.index.postings.join(F.broadcast(offdf), ["field", "term"])
+        per_doc = (
+            p.groupBy("doc_id", "dl")
+            .agg(
+                F.countDistinct("qoff").alias("n_off"),
+                F.collect_list(F.struct("qoff", "positions")).alias("plists"),
+            )
+            .where(F.col("n_off") == len(pairs))
+        )
+        # sort struct list by qoff, shift each positions list by its offset
+        shifted = F.transform(
+            F.sort_array(F.col("plists")),
+            lambda s: F.transform(s["positions"], lambda x: x - s["qoff"]),
+        )
+        if q.slop == 0:
+            inter = F.aggregate(
+                F.slice(shifted, 2, len(pairs) - 1) if len(pairs) > 1 else F.array(),
+                F.element_at(shifted, 1),
+                lambda acc, xs: F.array_intersect(acc, xs),
+            )
+            freq = F.size(inter).cast("double")
+        elif len(pairs) == 2:
+            # sloppy 2-term spec: every position pair within slop contributes
+            # 1/(1+d), d = |shifted distance| (sloppyFreq analogue,
+            # src/Lucene.Net/Search/DefaultSimilarity.cs:71). Documented
+            # deviation: overlapping matches all count (the reference's
+            # SloppyPhraseScorer counts a minimal non-overlapping set).
+            a = F.element_at(shifted, 1)
+            bq = F.element_at(shifted, 2)
+            freq = F.aggregate(
+                a,
+                F.lit(0.0),
+                lambda acc, p1: acc
+                + F.aggregate(
+                    bq,
+                    F.lit(0.0),
+                    lambda acc2, p2: acc2
+                    + F.when(
+                        F.abs(p2 - p1) <= q.slop, 1.0 / (1.0 + F.abs(p2 - p1))
+                    ).otherwise(0.0),
+                ),
+            )
+        else:
+            raise NotImplementedError(
+                "sloppy phrases with >2 terms are not supported (see SURVEY §2.4)"
+            )
+        scored = per_doc.select(
+            "doc_id",
+            (
+                F.lit(float(q.boost))
+                * F.lit(idf_sum)
+                * bm25.tf_norm(freq, F.col("dl"), self.index.avgdl)
+            ).alias("score"),
+            freq.alias("freq"),
+        ).where(F.col("freq") > 0)
+        return scored.select("doc_id", "score")
+
+    # ---- multi-term expansion
+
+    def _term_predicate(self, q: ast.Query):
+        t = F.col("term")
+        if isinstance(q, ast.Prefix):
+            return t.startswith(q.prefix)
+        if isinstance(q, ast.Wildcard):
+            return t.rlike(wildcard_to_regex(q.pattern))
+        if isinstance(q, ast.TermRange):
+            conds = []
+            if q.lower is not None:
+                conds.append(t >= q.lower if q.include_lower else t > q.lower)
+            if q.upper is not None:
+                conds.append(t <= q.upper if q.include_upper else t < q.upper)
+            pred = F.lit(True)
+            for c in conds:
+                pred = pred & c
+            return pred
+        raise NotImplementedError(type(q).__name__)
+
+    def _expand_match_ids(self, q: ast.Query) -> DataFrame:
+        """CONSTANT_SCORE_FILTER rewrite: no term enumeration, direct
+        predicate on the postings term column -> distinct doc set."""
+        return (
+            self.index.postings.where(
+                (F.col("field") == q.field) & self._term_predicate(q)
+            )
+            .select("doc_id")
+            .distinct()
+        )
+
+    def _constant_frame(self, q: ast.Query, boost: float) -> DataFrame:
+        ids = self.match_frame(q)
+        return ids.select("doc_id", F.lit(float(boost)).alias("score"))
+
+    def _fuzzy_frame(self, q: ast.Fuzzy) -> DataFrame:
+        """SCORING_BOOLEAN rewrite with per-term boost from similarity."""
+        t = F.col("term")
+        cand = self.index.term_stats().where(F.col("field") == q.field)
+        if q.prefix_length > 0:
+            cand = cand.where(t.startswith(q.term[: q.prefix_length]))
+        sim = 1.0 - F.levenshtein(t, F.lit(q.term)).cast("double") / F.least(
+            F.length(t), F.lit(len(q.term))
+        ).cast("double")
+        cand = (
+            cand.select("term", "df", sim.alias("sim"))
+            .where(F.col("sim") >= q.min_similarity)
+            .orderBy(F.col("sim").desc(), F.col("term").asc())
+            .limit(ast.MAX_CLAUSE_COUNT)  # FuzzyQuery top-1024 expansion
+            .collect()
+        )
+        if not cand:
+            return self._empty_frame()
+        n, avgdl = self.index.n_docs, self.index.avgdl
+        frames = []
+        for r in cand:
+            tb = (r["sim"] - q.min_similarity) / (1.0 - q.min_similarity)
+            p = self.index.postings.where(
+                (F.col("field") == q.field) & (F.col("term") == r["term"])
+            )
+            score = bm25.term_score(
+                F.col("tf"), F.col("dl"), F.lit(int(r["df"])), n, avgdl,
+                q.boost * tb,
+            )
+            frames.append(p.select("doc_id", score.alias("score")))
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    # ---- filtered
+
+    def _filtered_frame(self, q: ast.Filtered) -> DataFrame:
+        inner = self.score_frame(q.query)
+        stored = self.index.stored
+        keep = stored.where(q.predicate).select(
+            F.col(self.index.id_col).alias("doc_id")
+        )
+        out = inner.join(keep, "doc_id", "left_semi")
+        if q.boost != 1.0:
+            out = out.select("doc_id", (F.col("score") * q.boost).alias("score"))
+        return out
+
+    def _empty_frame(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")

@@ -1,0 +1,111 @@
+"""Deterministic synthetic corpora (FIXTURES.md) + testdata loaders.
+
+F1 `corpus` — the BASELINE.json input shape
+(repo:string, path:string, commit:string, lang:string, content:string),
+generated with a fixed seed so every run / partitioning / engine sees the
+same bytes.  No external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+
+_EXT = {"python": "py", "java": "java", "csharp": "cs", "text": "txt"}
+_LANGS = ["python", "java", "csharp", "text"]
+
+# Vocab: Zipf-sampled English words incl. the 33 stopwords + code-ish idents.
+_BASE_WORDS = [
+    "the", "of", "and", "a", "to", "in", "is", "it", "that", "for", "was",
+    "on", "are", "as", "with", "they", "this", "at", "be", "or", "an",
+    "index", "merge", "segment", "posting", "term", "query", "score",
+    "search", "token", "field", "document", "writer", "reader", "buffer",
+    "flush", "commit", "delete", "update", "filter", "boost", "phrase",
+    "fuzzy", "prefix", "wildcard", "range", "boolean", "collector", "heap",
+    "license", "apache", "copyright", "spark", "partition", "shuffle",
+    "broadcast", "salt", "skew", "parquet", "iceberg", "arrow", "numpy",
+]
+_IDENTS = [
+    "camelCaseName", "snake_case_name", "Dotted.Names", "getFoo", "setBar",
+    "MAX_VALUE", "doc_id", "TermQuery", "IndexWriter", "readBytes",
+]
+
+
+def _vocab(n: int = 2000) -> list[str]:
+    v = list(_BASE_WORDS) + list(_IDENTS)
+    i = 0
+    while len(v) < n:
+        v.append(f"w{i:04d}")
+        i += 1
+    return v
+
+
+def gen_corpus_rows(n_rows: int, seed: int = 42) -> list[tuple]:
+    """(repo, path, commit, lang, content) rows, deterministic."""
+    rng = random.Random(seed)
+    vocab = _vocab()
+    # Zipf-ish weights: p(rank r) ~ 1/(r+1)
+    weights = [1.0 / (r + 1) for r in range(len(vocab))]
+    rows = []
+    for i in range(n_rows):
+        lang = _LANGS[i % len(_LANGS)]
+        repo = f"org{i % 7}/repo{i % 23}"
+        path = f"src/mod{i % 11}/file{i}.{_EXT[lang]}"
+        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+        n_tok = rng.randint(20, 400)
+        words = rng.choices(vocab, weights=weights, k=n_tok)
+        # sprinkle numbers + punctuation
+        content_parts = []
+        for j, w in enumerate(words):
+            content_parts.append(w)
+            if j % 17 == 5:
+                content_parts.append(str(rng.randint(0, 9999)))
+            if j % 11 == 3:
+                content_parts.append(rng.choice([",", ".", ";", "(", ")"]))
+        content = " ".join(content_parts)
+        rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def corpus_df(spark: SparkSession, n_rows: int, seed: int = 42,
+              partitions: int | None = None) -> DataFrame:
+    df = spark.createDataFrame(gen_corpus_rows(n_rows, seed), CORPUS_SCHEMA)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
+
+
+def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path")) -> DataFrame:
+    """Deterministic dense doc_id via partition-local rank + partition base
+    offsets (mirrors docID rebase `doc = docMap[doc] + base`,
+    src/Lucene.Net/Index/SegmentMerger.cs:819-821).
+
+    At 10^12 scale a global sort is a full pass; instead: hash-stable ordering
+    key -> row_number within hash partition + precomputed bases from partition
+    counts (one small agg).  Here (sandbox) we use a window over the natural
+    key which Spark executes as range-partitioned rank — same result, and the
+    ordering spec (order_cols) is what a lineage row must record for resume.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+
+# ---- testdata loaders -------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

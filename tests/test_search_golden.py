@@ -1,0 +1,126 @@
+"""Engine vs pure-Python oracle golden tests (FIXTURES.md F2/F3/F4/F5 style,
+mirroring test/Lucene.Net.Test/Search/TestBooleanQuery.cs, TestPhraseQuery.cs,
+TestSimilarity.cs, TestFuzzyQuery.cs, TestWildcard.cs, TestTermRangeQuery.cs).
+
+The same queries run through the Spark Searcher and the OracleIndex; top-k
+(doc_id, score) lists must be identical (scores rounded to 6 decimals, ties
+by ascending doc_id per src/Lucene.Net/Search/HitQueue.cs:87-93)."""
+
+import math
+
+import pytest
+
+from lucenenet_spark.index.builder import build_inverted_index
+from lucenenet_spark.oracle.pybm25 import OracleIndex
+from lucenenet_spark.plans import ast
+from lucenenet_spark.plans.lowering import Searcher
+
+# F2-style corpus: docs over alphabet a..k incl. exact duplicates (ties)
+DOCS = [
+    "aa b c d",       # 0
+    "aa b c d e",     # 1
+    "aa b",           # 2
+    "b c d",          # 3
+    "aa",             # 4
+    "aa aa b",        # 5
+    "x y z",          # 6
+    "aa b c d",       # 7  duplicate of 0 -> score tie, docID break
+    "c d e f g",      # 8
+    "b b b b",        # 9
+    "words foo world wide",   # 10
+    "words of the world",     # 11  stopword hole between words..world
+    "one two three four",     # 12
+    "one three two",          # 13
+    "foo bar foo bar",        # 14
+    "apple apples applied banana metal metals hello",  # 15
+]
+
+QUERIES = [
+    ("term_a", ast.Term("aa")),
+    ("term_b", ast.Term("b")),
+    ("term_missing", ast.Term("zzz")),
+    ("and_ab", ast.Bool(must=(ast.Term("aa"), ast.Term("b")))),
+    ("or_ab", ast.Bool(should=(ast.Term("aa"), ast.Term("b")))),
+    ("a_not_b", ast.Bool(must=(ast.Term("aa"),), must_not=(ast.Term("b"),))),
+    ("msm2", ast.Bool(should=(ast.Term("aa"), ast.Term("b"), ast.Term("c")),
+                      min_should_match=2)),
+    ("must_plus_should", ast.Bool(must=(ast.Term("aa"),),
+                                  should=(ast.Term("e"), ast.Term("c")))),
+    ("boost", ast.Bool(should=(ast.Term("aa", boost=2.0), ast.Term("b")))),
+    ("dismax", ast.DisMax((ast.Term("aa"), ast.Term("c")), tie=0.1)),
+    ("dismax_tie0", ast.DisMax((ast.Term("b"), ast.Term("e")), tie=0.0)),
+    ("phrase_exact", ast.Phrase(("b", "c", "d"))),
+    ("phrase_nomatch_order", ast.Phrase(("d", "c"))),
+    ("phrase_hole", ast.Phrase(("words", "world"), offsets=(0, 3))),
+    ("phrase_hole_wrong", ast.Phrase(("words", "world"))),
+    ("phrase_repeat", ast.Phrase(("foo", "bar", "foo"))),
+    ("phrase_slop1", ast.Phrase(("one", "three"), slop=1)),
+    ("phrase_slop2", ast.Phrase(("two", "one"), slop=2)),
+    ("prefix", ast.Prefix("app")),
+    ("wildcard", ast.Wildcard("met*l")),
+    ("wildcard_q", ast.Wildcard("h?llo")),
+    ("range", ast.TermRange("b", "d")),
+    ("range_excl", ast.TermRange("b", "d", include_lower=True, include_upper=False)),
+    ("fuzzy", ast.Fuzzy("metals", min_similarity=0.5)),
+    ("matchall", ast.MatchAll()),
+    ("constant_prefix", ast.ConstantScore(ast.Prefix("wor"), boost=2.5)),
+    ("nested_bool", ast.Bool(
+        must=(ast.Bool(should=(ast.Term("aa"), ast.Term("e"))),),
+        should=(ast.Term("c"),), must_not=(ast.Term("x"),))),
+    ("one_clause_collapse", ast.Bool(must=(ast.Term("aa", boost=1.5),), boost=2.0)),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    idx = build_inverted_index(spark, docs, text_cols="text").cache()
+    return Searcher(idx)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    oi = OracleIndex()
+    for i, t in enumerate(DOCS):
+        oi.add(i, {"text": t})
+    return oi
+
+
+@pytest.mark.parametrize("name,q", QUERIES, ids=[n for n, _ in QUERIES])
+@pytest.mark.parametrize("k", [3, 10])
+def test_topk_matches_oracle(engine, oracle, name, q, k):
+    got = [(r["doc_id"], r["score"]) for r in engine.search(q, k).collect()]
+    want = oracle.top_k(q, k)
+    assert got == want, f"{name}: {got} != {want}"
+
+
+def test_scores_match_closed_form(engine, oracle):
+    """F4-style: single-term BM25 equals the closed-form formula."""
+    n, avgdl = oracle.n_docs, oracle.avgdl
+    df = len(oracle.post["text"]["aa"])
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    rows = {r["doc_id"]: r["score"] for r in engine.search(ast.Term("aa"), 16).collect()}
+    # doc 5: "aa aa b" -> tf=2, dl=3
+    tfn = 2 * 2.2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / avgdl))
+    assert rows[5] == round(idf * tfn, 6)
+
+
+def test_count_totalhits(engine, oracle):
+    assert engine.count(ast.Term("aa")) == len(oracle.score_map(ast.Term("aa")))
+    assert engine.count(ast.MatchAll()) == len(DOCS)
+
+
+def test_partitioning_invariance(spark, oracle):
+    """F7: same corpus indexed under 1, 4, 17 partitions -> identical top-k
+    (global-stats lemma, src/Lucene.Net/Search/MultiSearcher.cs:355-390)."""
+    q = ast.Bool(should=(ast.Term("aa"), ast.Term("c"), ast.Term("e")))
+    want = oracle.top_k(q, 10)
+    for parts in (1, 4, 17):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+        ).repartition(parts)
+        s = Searcher(build_inverted_index(spark, docs, text_cols="text"))
+        got = [(r["doc_id"], r["score"]) for r in s.search(q, 10).collect()]
+        assert got == want, f"partitions={parts}"
