@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame plans (JVM-side, codegen-friendly):
+
+- exact_dups:      hash-groupBy on sha256(content) — one shuffle.
+- ngram_jaccard:   word-n-gram shingles -> inverted shingle join ->
+                   |intersection| per pair -> Jaccard.  The shingle join IS
+                   the scale path (never a doc x doc cross join); hot
+                   shingles can be dropped via max_shingle_df (stop-shingle
+                   cutoff) exactly like hot-term salting in the index build.
+- minhash_lsh:     md5-derived minhash signatures (num_hashes), banded into
+                   buckets; candidate pairs = same band bucket; verified
+                   with exact Jaccard.  Signature + bands computed entirely
+                   with array higher-order functions — no explode until the
+                   (doc, band) level.
+- simhash:         32-bit simhash over tf-weighted token hashes; near-dup
+                   pairs by Hamming distance via bit_count(xor).
+
+Deterministic across runs/engines: all hashing is md5-based (same function
+exists in DuckDB for the oracle SQL in oracle/sqlgen.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..analysis.exprs import raw_tokens
+
+ROUND = 6
+
+
+def _tok_array(text_col: str):
+    """Raw standard tokens (stopwords KEPT — dedup looks at surface text)."""
+    return raw_tokens(F.col(text_col))
+
+
+def _hash60(col) -> F.Column:
+    """First 15 hex chars of md5 -> non-negative 60-bit long (portable to
+    DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dups(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(content_sha, n_dups, canonical_id) for groups of byte-identical docs;
+    canonical = lowest doc_id (the survivor)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(F.col(id_col)).alias("canonical_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """(doc_id, shingle, n_shingles) — distinct word n-grams per doc."""
+    toks = _tok_array(text_col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+        .where(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs with n-gram Jaccard >= threshold.
+
+    Inverted-index join on shingle (one shuffle on shingle + one on the
+    pair key); max_shingle_df drops shingles occurring in more than that
+    many docs (skew guard — a stop-shingle creates O(df^2) pair rows)."""
+    sh = shingles(docs, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"),
+    )
+    b = sh.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.select("doc_a", "doc_b", F.round(jac, ROUND).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig: array<long>) — sig[i] = min over tokens of
+    h_i(tok) = md5-60bit(i || ':' || tok).  All array ops, no explode."""
+    toks = F.array_distinct(_tok_array(text_col))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                toks,
+                lambda t: _hash60(F.concat(i.cast("string"), F.lit(":"), t)),
+            )
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tok"),
+                    sig.alias("sig"))
+        .where(F.col("n_tok") > 0)
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 16,
+                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH banding: candidates = pairs sharing >=1 band bucket,
+    then verified with EXACT token-set Jaccard >= threshold.
+
+    Scale path: the only shuffles are (band_key) and the pair groupBy; a
+    band bucket with B docs emits O(B^2) pairs — at 100TB add a bucket-size
+    cutoff just like max_shingle_df."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows + 1, rows))
+                ),
+            )
+        ).alias("band", "bkey"),
+    )
+    a = banded.select("band", "bkey", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "bkey", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-verify candidates with token-set Jaccard (1-gram shingles)
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(_tok_array(text_col))).alias("tok"),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, ROUND).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted simhash over token md5 bits.
+
+    bit b of the fingerprint is 1 iff sum over tokens of
+    tf * (2*bit_b(h(tok)) - 1) > 0.  At 64+ bits, chunk into multiple
+    longs; 32 bits fits the portable 60-bit md5 hash."""
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(_tok_array(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _hash60(F.col("tok")))
+    )
+    bit = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("tf"), F.col("h"),
+    ).withColumn(
+        # shiftright with a column shift amount needs the SQL expression form
+        "w", F.expr("tf * ((shiftright(h, b) & 1) * 2 - 1)")
+    )
+    per_bit = bit.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 32,
+                  max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within Hamming distance.
+
+    Sandbox implementation joins on a 4-segment prefix index (pigeonhole:
+    distance <= 3 over 4 segments => at least one segment identical), the
+    standard scale trick — never a full cross join."""
+    sh = simhash(docs, text_col, id_col, bits)
+    seg_bits = bits // 4
+    mask = (1 << seg_bits) - 1
+    segs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * seg_bits).bitwiseAND(F.lit(mask))
+            for i in range(4)
+        ]
+    )
+    seg = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(segs).alias("seg_i", "seg_v"),
+    )
+    a = seg.select("seg_i", "seg_v", F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("ha"))
+    b = seg.select("seg_i", "seg_v", F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        a.join(b, ["seg_i", "seg_v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

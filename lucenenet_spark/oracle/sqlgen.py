@@ -1,0 +1,424 @@
+"""DuckDB oracle SQL generators — the independent re-implementation of every
+queries() entry in ANSI-ish SQL, run by the correctness driver side-by-side
+with the Spark plans.
+
+Each builder mirrors the engine semantics EXACTLY (same tokenizer spec, same
+BM25 constants, same round-to-6-then-order-by-(score desc, doc_id) collector
+discipline).  Shared CTE prefix = the whole index build expressed in SQL.
+"""
+
+from __future__ import annotations
+
+from ..analysis.tokenizers import ENGLISH_STOP_WORDS
+from ..functions.textstats import LANG_MARKERS
+
+STOPLIST_SQL = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+K1, B = 1.2, 0.75
+
+
+def base_ctes(table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    """tk(all tokens+pos) -> tokens(stop/len filtered) -> dl, st(n,avgdl),
+    post(term,doc,tf,dl), dfs(term,df) — the index build in SQL."""
+    return f"""
+tk AS (
+  SELECT {id_col} AS doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT {id_col}, regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS toks
+        FROM {table})
+),
+tokens AS (
+  SELECT * FROM tk
+  WHERE length(term) <= 255 AND term NOT IN ({STOPLIST_SQL})
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM tokens)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl
+  FROM tokens t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)"""
+
+
+def _bm25(tf: str = "p.tf", dl: str = "p.dl", df: str = "f.df") -> str:
+    return (
+        f"ln(1 + (st.n - {df} + 0.5)/({df} + 0.5)) * "
+        f"({tf} * {K1 + 1.0}) / ({tf} + {K1} * ({1.0 - B} + {B} * {dl} / st.avgdl))"
+    )
+
+
+def _topk(k: int) -> str:
+    return f"ORDER BY score DESC, doc_id LIMIT {k}"
+
+
+def term_query(term: str, k: int = 10, boost: float = 1.0,
+               table: str = "documents") -> str:
+    return f"""WITH {base_ctes(table)}
+SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+def bool_query(must: list[tuple[str, float]] = (),
+               should: list[tuple[str, float]] = (),
+               must_not: list[str] = (), min_should_match: int = 0,
+               k: int = 10, boost: float = 1.0,
+               table: str = "documents") -> str:
+    """Boolean scoring: one VALUES join carrying (term, clause boost,
+    is_must, is_should) -> groupBy(doc) HAVING — mirrors the engine's
+    single union+groupBy plan."""
+    rows = [f"('{t}', {bst}::DOUBLE, 1, 0)" for t, bst in must]
+    rows += [f"('{t}', {bst}::DOUBLE, 0, 1)" for t, bst in should]
+    msm = min_should_match
+    if should and not must and msm < 1:
+        msm = 1
+    notf = ""
+    if must_not:
+        terms = ",".join(f"'{t}'" for t in must_not)
+        notf = f"AND s.doc_id NOT IN (SELECT doc_id FROM post WHERE term IN ({terms}))"
+    return f"""WITH {base_ctes(table)},
+qt AS (SELECT * FROM (VALUES {", ".join(rows)}) v(term, bst, m, sh)),
+sc AS (
+  SELECT p.doc_id, q.m, q.sh, q.bst * {_bm25()} AS s
+  FROM post p JOIN qt q USING (term) JOIN dfs f USING (term) CROSS JOIN st
+)
+SELECT s.doc_id, round(sum(s.s) * {boost}, 6) AS score
+FROM sc s
+WHERE true {notf}
+GROUP BY s.doc_id
+HAVING sum(s.m) = {len(list(must))} AND sum(s.sh) >= {msm}
+{_topk(k)}"""
+
+
+def dismax_query(terms: list[tuple[str, float]], tie: float = 0.0,
+                 k: int = 10, table: str = "documents") -> str:
+    rows = [f"('{t}', {bst}::DOUBLE)" for t, bst in terms]
+    return f"""WITH {base_ctes(table)},
+qt AS (SELECT * FROM (VALUES {", ".join(rows)}) v(term, bst)),
+sc AS (
+  SELECT p.doc_id, q.bst * {_bm25()} AS s
+  FROM post p JOIN qt q USING (term) JOIN dfs f USING (term) CROSS JOIN st
+)
+SELECT doc_id, round(max(s) + {tie} * (sum(s) - max(s)), 6) AS score
+FROM sc GROUP BY doc_id
+{_topk(k)}"""
+
+
+def phrase_query(terms: list[str], offsets: list[int] | None = None,
+                 slop: int = 0, k: int = 10, boost: float = 1.0,
+                 table: str = "documents") -> str:
+    offs = offsets if offsets is not None else list(range(len(terms)))
+    idf_terms = ",".join(f"('{t}')" for t in terms)
+    idf_cte = f"""idfv AS (
+  SELECT sum(ln(1 + (st.n - f.df + 0.5)/(f.df + 0.5))) AS v
+  FROM (VALUES {idf_terms}) q(term) JOIN dfs f USING (term) CROSS JOIN st
+)"""
+    if slop == 0:
+        joins, conds = [], []
+        for i, (t, o) in enumerate(zip(terms, offs)):
+            if i == 0:
+                continue
+            joins.append(
+                f"JOIN tokens t{i} ON t{i}.doc_id = t0.doc_id "
+                f"AND t{i}.pos - {o} = t0.pos - {offs[0]} AND t{i}.term = '{t}'"
+            )
+        freq_cte = f"""cand AS (
+  SELECT t0.doc_id, t0.pos - {offs[0]} AS base
+  FROM tokens t0 {' '.join(joins)}
+  WHERE t0.term = '{terms[0]}'
+),
+freqs AS (SELECT doc_id, count(DISTINCT base)::DOUBLE AS freq FROM cand GROUP BY doc_id)"""
+    else:
+        assert len(terms) == 2, "sloppy phrase SQL: 2 terms only"
+        freq_cte = f"""cand AS (
+  SELECT a.doc_id, abs((b.pos - {offs[1]}) - (a.pos - {offs[0]})) AS d
+  FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+  WHERE a.term = '{terms[0]}' AND b.term = '{terms[1]}'
+),
+freqs AS (SELECT doc_id, sum(1.0/(1.0+d)) AS freq FROM cand WHERE d <= {slop} GROUP BY doc_id)"""
+    return f"""WITH {base_ctes(table)},
+{idf_cte},
+{freq_cte}
+SELECT fr.doc_id,
+       round({boost} * idfv.v * (fr.freq * {K1 + 1.0}) /
+             (fr.freq + {K1} * ({1.0 - B} + {B} * d.dl / st.avgdl)), 6) AS score
+FROM freqs fr JOIN dl d USING (doc_id) CROSS JOIN idfv CROSS JOIN st
+WHERE fr.freq > 0
+{_topk(k)}"""
+
+
+def constant_multiterm(term_pred: str, boost: float = 1.0, k: int = 10,
+                       table: str = "documents") -> str:
+    """CONSTANT_SCORE rewrite for prefix/wildcard/range: term predicate on
+    the postings term column, distinct docs, uniform score."""
+    return f"""WITH {base_ctes(table)}
+SELECT DISTINCT doc_id, {boost}::DOUBLE AS score
+FROM post WHERE {term_pred}
+{_topk(k)}"""
+
+
+def fuzzy_query(term: str, min_sim: float = 0.5, prefix_len: int = 0,
+                k: int = 10, boost: float = 1.0,
+                table: str = "documents") -> str:
+    pre = (
+        f"AND term LIKE '{term[:prefix_len]}%'" if prefix_len > 0 else ""
+    )
+    return f"""WITH {base_ctes(table)},
+cand AS (
+  SELECT * FROM (
+    SELECT term, df,
+           1.0 - levenshtein(term, '{term}')::DOUBLE /
+                 least(length(term), {len(term)})::DOUBLE AS sim
+    FROM dfs
+    WHERE true {pre}
+  ) WHERE sim >= {min_sim}
+  ORDER BY sim DESC, term LIMIT 1024
+),
+sc AS (
+  SELECT p.doc_id,
+         (c.sim - {min_sim}) / (1.0 - {min_sim}) * {boost} *
+         {_bm25(df="c.df")} AS s
+  FROM post p JOIN cand c USING (term) CROSS JOIN st
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+{_topk(k)}"""
+
+
+def matchall(k: int, boost: float = 1.0, table: str = "documents",
+             id_col: str = "doc_id") -> str:
+    return f"""SELECT {id_col} AS doc_id, {boost}::DOUBLE AS score FROM {table}
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+def filtered_term(term: str, predicate: str, k: int = 10,
+                  table: str = "documents") -> str:
+    return f"""WITH {base_ctes(table)},
+sc AS (
+  SELECT p.doc_id, {_bm25()} AS s
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term = '{term}'
+)
+SELECT s.doc_id AS doc_id, round(s.s, 6) AS score
+FROM sc s JOIN {table} d ON d.doc_id = s.doc_id
+WHERE {predicate}
+ORDER BY score DESC, s.doc_id LIMIT {k}"""
+
+
+def facet_counts(term: str, facet_col: str, table: str = "documents") -> str:
+    return f"""WITH {base_ctes(table)}
+SELECT d.{facet_col}, count(*) AS facet_count
+FROM {table} d
+WHERE d.doc_id IN (SELECT doc_id FROM post WHERE term = '{term}')
+GROUP BY d.{facet_col}"""
+
+
+def sorted_hits(term: str, order_col: str, k: int = 10,
+                table: str = "documents",
+                out_cols: str = "doc_id, lang, n_chars") -> str:
+    return f"""WITH {base_ctes(table)}
+SELECT {out_cols} FROM {table}
+WHERE doc_id IN (SELECT doc_id FROM post WHERE term = '{term}')
+ORDER BY {order_col} DESC, doc_id LIMIT {k}"""
+
+
+def term_stats(limit: int = 20, table: str = "documents") -> str:
+    return f"""WITH {base_ctes(table)}
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf FROM post GROUP BY term
+ORDER BY df DESC, term LIMIT {limit}"""
+
+
+def multifield(text_term: str, kw_col: str, kw_val: str, k: int = 10,
+               table: str = "documents") -> str:
+    """text term OR keyword-field term; keyword field scores with tf=1,
+    dl=1 against the shared (primary-field) avgdl — engine semantics."""
+    return f"""WITH {base_ctes(table)},
+kw AS (
+  SELECT doc_id,
+         (SELECT count(*) FROM {table} WHERE {kw_col} = '{kw_val}') AS df
+  FROM {table} WHERE {kw_col} = '{kw_val}'
+),
+sc AS (
+  SELECT p.doc_id, {_bm25()} AS s
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term = '{text_term}'
+  UNION ALL
+  SELECT k.doc_id,
+         ln(1 + (st.n - k.df + 0.5)/(k.df + 0.5)) *
+         (1 * {K1 + 1.0}) / (1 + {K1} * ({1.0 - B} + {B} * 1.0 / st.avgdl)) AS s
+  FROM kw k CROSS JOIN st
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+{_topk(k)}"""
+
+
+# ------------------------------------------------------ pipeline operators
+
+def _raw_tok_cte(table: str = "documents", id_col: str = "doc_id",
+                 text_col: str = "text") -> str:
+    """Raw tokens (stopwords kept) as arrays — dedup/textstats basis."""
+    return f"""raw AS (
+  SELECT {id_col} AS doc_id, {text_col} AS text,
+         regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS toks
+  FROM {table}
+)"""
+
+
+def exact_dups(table: str = "documents", text_col: str = "text",
+               id_col: str = "doc_id") -> str:
+    return f"""SELECT sha256({text_col}) AS content_sha, count(*) AS n_dups,
+       min({id_col}) AS canonical_id
+FROM {table} GROUP BY sha256({text_col}) HAVING count(*) > 1"""
+
+
+def ngram_jaccard_pairs(n: int = 3, threshold: float = 0.5,
+                        table: str = "documents") -> str:
+    parts = "||' '||".join(f"toks[i+{j}]" for j in range(n))
+    return f"""WITH {_raw_tok_cte(table)},
+sh AS (
+  SELECT doc_id, unnest(shs) AS shingle, len(shs) AS n_sh FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(toks)-{n - 1}),
+                                        i -> {parts})) AS shs
+    FROM raw WHERE len(toks) >= {n})
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(i::DOUBLE/(na + nb - i), 6) AS jaccard
+FROM inter WHERE round(i::DOUBLE/(na + nb - i), 6) >= {threshold}"""
+
+
+def minhash_lsh_pairs(num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5, table: str = "documents") -> str:
+    rows = num_hashes // bands
+    return f"""WITH {_raw_tok_cte(table)},
+toku AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM raw WHERE len(toks) > 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM toku GROUP BY doc_id),
+mh AS (
+  SELECT t.doc_id, s.i,
+         min(('0x' || substr(md5(s.i::VARCHAR || ':' || t.tok), 1, 15))::BIGINT) AS mv
+  FROM toku t CROSS JOIN (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) s
+  GROUP BY t.doc_id, s.i
+),
+banded AS (
+  SELECT doc_id, i // {rows} AS band,
+         md5(string_agg(mv::VARCHAR, ',' ORDER BY i)) AS bkey
+  FROM mh GROUP BY doc_id, i // {rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN toku ta ON ta.doc_id = c.doc_a
+              JOIN toku tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.i::DOUBLE/(sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.i::DOUBLE/(sa.n + sb.n - i.i), 6) >= {threshold}"""
+
+
+def simhash(bits: int = 32, table: str = "documents") -> str:
+    return f"""WITH {_raw_tok_cte(table)},
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM raw)
+  GROUP BY doc_id, tok
+),
+bitsum AS (
+  SELECT doc_id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS s
+  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc_id"""
+
+
+def simhash_pairs(bits: int = 32, max_hamming: int = 3,
+                  table: str = "documents") -> str:
+    seg_bits = bits // 4
+    mask = (1 << seg_bits) - 1
+    return f"""WITH sh AS ({simhash(bits, table)}),
+seg AS (
+  SELECT doc_id, simhash, s.i AS seg_i, (simhash >> (s.i * {seg_bits})) & {mask} AS seg_v
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM seg a JOIN seg b ON a.seg_i = b.seg_i AND a.seg_v = b.seg_v
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def cosine_topk(query_id: int = 0, k: int = 10,
+                table: str = "embeddings") -> str:
+    return f"""WITH q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM {table} e CROSS JOIN q
+),
+d AS (
+  SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(dot/(nx*ny), 6) AS cosine FROM d
+WHERE vec_id <> {query_id}
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+def textstats(table: str = "documents") -> str:
+    """token counts + quality + stop ratio + fingerprint, per doc."""
+    stop = STOPLIST_SQL
+    markers = {lg: ",".join(f"'{w}'" for w in ws) for lg, ws in LANG_MARKERS.items()}
+    ratio_exprs = ",\n".join(
+        f"  len(list_filter(toks, t -> t IN ({markers[lg]})))::DOUBLE / greatest(len(toks), 1) AS r_{lg}"
+        for lg in sorted(LANG_MARKERS)
+    )
+    # argmax with lexicographic tie-break == engine's comparison chain
+    langs = sorted(LANG_MARKERS)
+    best = "'und'"
+    best_r = "0.0"
+    for lg in langs:
+        best = f"CASE WHEN r_{lg} > {best_r} THEN '{lg}' ELSE {best} END"
+        best_r = f"CASE WHEN r_{lg} > {best_r} THEN r_{lg} ELSE {best_r} END"
+    return f"""WITH {_raw_tok_cte(table)},
+base AS (
+  SELECT doc_id, text, toks,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS ws_tokens,
+  len(toks)::BIGINT AS alnum_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]'))::BIGINT AS bpe_pieces,
+  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+  len(list_filter(toks, t -> t IN ({stop})))::DOUBLE / greatest(len(toks), 1) AS stop_r,
+{ratio_exprs}
+  FROM raw
+)
+SELECT doc_id, ws_tokens, alnum_tokens, bpe_pieces,
+  round(stop_r, 6) AS stop_ratio,
+  round(0.4 * least(1.0, alnum_tokens / 100.0)
+      + 0.3 * greatest(0.0, 1.0 - (punct::DOUBLE / greatest(alnum_tokens, 1)) * 5.0)
+      + 0.3 * greatest(0.0, 1.0 - abs(stop_r - 0.4) / 0.4), 6) AS quality,
+  {best} AS pred_lang,
+  md5(array_to_string(list_sort(list_distinct(
+      list_filter(toks, t -> length(t) <= 255 AND t NOT IN ({stop})))), ' ')) AS fingerprint
+FROM base"""
+
+
+def mm_meta(table: str = "documents") -> str:
+    """binary-column plumbing check: byte length + sha256 of the payload."""
+    return f"""SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+       sha256(text) AS payload_sha
+FROM {table}"""
