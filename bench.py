@@ -1,0 +1,101 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Also measures the north-rule metric: index-build throughput (files/sec)
+over the synthetic source-code corpus (repo,path,commit,lang,content),
+through the compressed-segment pipeline (tokenize -> partition-segment
+postings blobs -> salted merge), plus BM25 top-10 query latency on the
+warm index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entry
+    from lucenenet_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- north-rule metric: corpus index-build throughput (files/sec) ----
+    from lucenenet_spark.index.segments import build_segmented_index
+    from lucenenet_spark.sources.corpus import corpus_df, with_doc_ids
+
+    n_files = int(20000 * sf / 0.1)
+    corpus = with_doc_ids(
+        corpus_df(spark, n_files, partitions=cpus), ("repo", "path")
+    ).cache()
+    corpus.count()  # materialize source outside the timed window
+
+    t0 = time.time()
+    seg = build_segmented_index(spark, corpus, text_col="content",
+                                lang_col="lang")
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    files_per_sec = round(n_files / build_sec, 1)
+
+    # warm BM25 queries on the segmented index
+    from lucenenet_spark.plans import ast
+    from lucenenet_spark.plans.lowering import Searcher
+
+    s = Searcher(seg)
+    for name, q in [
+        ("q_term", ast.Term("index", field="content")),
+        ("q_bool_and", ast.Bool(must=(ast.Term("index", field="content"),
+                                      ast.Term("merge", field="content")))),
+        ("q_bool_or", ast.Bool(should=(ast.Term("spark", field="content"),
+                                       ast.Term("segment", field="content"),
+                                       ast.Term("query", field="content")))),
+        ("q_phrase", ast.Phrase(("license", "apache"), field="content")),
+    ]:
+        timed(name, lambda q=q: s.search(q, 10).collect())
+
+    # --- driver-contract headline queries over the testdata tables -------
+    qs = entry.queries()
+    for name in [
+        "ft_term", "ft_bool_and", "ft_bool_or", "ft_phrase",
+        "ft_prefix", "ft_fuzzy", "dd_exact", "dd_minhash_lsh",
+        "dd_simhash", "ann_cosine_topk", "txt_stats",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "index-build throughput + BM25 top-10 latency + pipeline ops",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "corpus_files": n_files,
+        "files_per_sec": files_per_sec,
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,19 +138,10 @@ class Searcher:
 
     def _term_df_map(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
         """Collect global df for the query terms (one tiny job; the
-        CachedDfSource analogue, MultiSearcher.cs:87-118)."""
-        fields = sorted({f for f, _ in pairs})
-        terms = sorted({t for _, t in pairs})
-        rows = (
-            self.index.postings.where(
-                F.col("field").isin(fields) & F.col("term").isin(terms)
-            )
-            .groupBy("field", "term")
-            .agg(F.count("*").alias("df"))
-            .collect()
-        )
-        got = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-        return {p: got.get(p, 0) for p in pairs}
+        CachedDfSource analogue, MultiSearcher.cs:87-118). Delegated to the
+        index so the segmented path answers from term-dictionary metadata
+        without decoding blobs."""
+        return self.index.term_dfs(pairs)
 
     def _term_frame(self, q: ast.Term) -> DataFrame:
         df = self._term_df_map([(q.field, q.term)])[(q.field, q.term)]

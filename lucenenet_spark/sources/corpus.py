@@ -81,22 +81,52 @@ def corpus_df(spark: SparkSession, n_rows: int, seed: int = 42,
     return df
 
 
-def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path")) -> DataFrame:
+def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path"),
+                 num_partitions: int | None = None) -> DataFrame:
     """Deterministic dense doc_id via partition-local rank + partition base
     offsets (mirrors docID rebase `doc = docMap[doc] + base`,
     src/Lucene.Net/Index/SegmentMerger.cs:819-821).
 
-    At 10^12 scale a global sort is a full pass; instead: hash-stable ordering
-    key -> row_number within hash partition + precomputed bases from partition
-    counts (one small agg).  Here (sandbox) we use a window over the natural
-    key which Spark executes as range-partitioned rank — same result, and the
-    ordering spec (order_cols) is what a lineage row must record for resume.
+    At 10^12 scale a global sort/window is a single-reducer full pass; this
+    instead (a) hash-repartitions on the natural key (deterministic for a
+    fixed partition count — the partitioning spec a lineage row records for
+    resume), (b) sorts within partitions, (c) one SMALL agg for per-partition
+    counts -> base offsets, (d) assigns base + local rank with zero extra
+    shuffles.  doc_id is dense, unique, and reproducible across runs.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    np_ = num_partitions or docs.rdd.getNumPartitions()
+    key = [F.col(c) for c in order_cols]
+    part = docs.repartition(np_, *key).sortWithinPartitions(*order_cols)
+    counts = (
+        part.groupBy(F.spark_partition_id().alias("_pid"))
+        .count().collect()
+    )
+    bases = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        bases[r["_pid"]] = acc
+        acc += r["count"]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(part.schema.fields) + [T.StructField("doc_id", T.LongType(), False)]
+    )
+    cols = [f.name for f in schema]
+
+    def assign(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        nxt = bases.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["doc_id"] = range(nxt, nxt + len(pdf))
+            nxt += len(pdf)
+            yield pdf[cols]
+
+    return part.mapInPandas(assign, schema)
 
 
 # ---- testdata loaders -------------------------------------------------------
