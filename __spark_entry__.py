@@ -22,12 +22,16 @@ from pyspark.sql import functions as F
 
 from lucenenet_spark.functions import textstats as ts
 from lucenenet_spark.index.builder import build_inverted_index
+from lucenenet_spark.index.segments import build_segmented_index
+from lucenenet_spark.index.wand import wand_topk
 from lucenenet_spark.operators import ann, dedup
 from lucenenet_spark.oracle import sqlgen
 from lucenenet_spark.plans import ast
 from lucenenet_spark.plans.lowering import Searcher
+from lucenenet_spark.queryparser.parser import QueryParser
 
 _CACHE: dict[str, tuple] = {}
+_SEG_CACHE: dict[str, tuple] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +53,22 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     s = Searcher(idx)
     _CACHE[sf_dir] = (spark, s)
     return s
+
+
+def _seg_index(spark: SparkSession, sf_dir: str):
+    """Compressed-segment index over documents.text (the physical path)."""
+    hit = _SEG_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    idx = build_segmented_index(
+        spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        field_name="text",
+    )
+    _SEG_CACHE[sf_dir] = (spark, idx)
+    return idx
+
+
+_PARSER = QueryParser(default_field="text", keyword_fields={"source"})
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -154,6 +174,27 @@ def _mm_meta(spark, sf_dir):
     )
 
 
+def _parsed(text: str, k: int = K):
+    """Lucene-syntax string -> parse -> search (QueryParser.cs analogue)."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).search(_PARSER.parse(text), k)
+    return run
+
+
+def _ft_wand(spark, sf_dir):
+    """Block-max WAND top-k over the compressed-segment index; results
+    rank-identical to the exact disjunctive scorer (same DuckDB oracle)."""
+    return wand_topk(
+        _seg_index(spark, sf_dir),
+        [("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K, field="text",
+    )
+
+
+def _ft_seg_term(spark, sf_dir):
+    """TermQuery through the compressed-segment decode path."""
+    return Searcher(_seg_index(spark, sf_dir)).search(ast.Term("spark"), K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- full-text core (SURVEY.md §2.4-2.8) ---
@@ -195,6 +236,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multifield": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("src0", field="source")))
         ),
+        # --- query parser (SURVEY.md §2.10) ---
+        "qp_bool": _parsed("+table batch -vector"),
+        "qp_phrase": _parsed('"spark merge"~3'),
+        "qp_nested": _parsed("spark AND (merge OR batch)"),
+        # --- compressed segments + block-max WAND (SURVEY.md §2.3/§4.2) ---
+        "ft_wand": _ft_wand,
+        "ft_seg_term": _ft_seg_term,
         # --- training-data pipeline ops ---
         "dd_exact": _dd_exact,
         "dd_ngram_jaccard": _dd_jaccard,
@@ -247,6 +295,21 @@ def oracle_sql() -> dict[str, str]:
         "ft_sorted": g.sorted_hits("merge", "n_chars", K),
         "ft_term_stats": g.term_stats(20),
         "ft_multifield": g.multifield("spark", "source", "src0", K),
+        "qp_bool": g.bool_query(
+            must=[("table", 1.0)], should=[("batch", 1.0)],
+            must_not=["vector"], k=K,
+        ),
+        "qp_phrase": g.phrase_query(["spark", "merge"], slop=3, k=K),
+        # nested (a AND (b OR c)) sums scores identically to
+        # must=[a], should=[b,c], msm=1 — associativity of the score sum
+        "qp_nested": g.bool_query(
+            must=[("spark", 1.0)], should=[("merge", 1.0), ("batch", 1.0)],
+            min_should_match=1, k=K,
+        ),
+        "ft_wand": g.bool_query(
+            should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K
+        ),
+        "ft_seg_term": g.term_query("spark", K),
         "dd_exact": g.exact_dups(),
         "dd_ngram_jaccard": g.ngram_jaccard_pairs(3, 0.5),
         "dd_minhash_lsh": g.minhash_lsh_pairs(16, 4, 0.5),

