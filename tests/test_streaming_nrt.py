@@ -1,0 +1,77 @@
+"""NRT streaming index: micro-batch segment publication == batch build.
+
+Behavioral mirror of the reference's NRT tests
+(test/Lucene.Net.Test/Index/TestIndexWriterReader.cs): documents added in
+increments are visible to a reader without a full rebuild, and results
+equal a from-scratch batch index over the same corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lucenenet_spark.plans import ast
+from lucenenet_spark.plans.lowering import Searcher
+
+
+@pytest.fixture()
+def corpus_waves(spark, tmp_path):
+    """Three parquet drops of the corpus — the streaming source input."""
+    from lucenenet_spark.sources.corpus import corpus_df, with_doc_ids
+
+    docs = with_doc_ids(corpus_df(spark, 240, partitions=4),
+                        ("repo", "path")).cache()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i in range(3):
+        wave = docs.where((docs.doc_id % 3) == i)
+        wave.write.mode("overwrite").parquet(str(src / f"wave_{i}"))
+    return docs, str(src)
+
+
+def test_stream_matches_batch(spark, corpus_waves, tmp_path):
+    from lucenenet_spark.index.segments import build_segmented_index
+    from lucenenet_spark.streaming import nrt
+
+    docs, src = corpus_waves
+    index_dir = str(tmp_path / "nrt_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(os.path.join(src, "wave_*"))
+    )
+    q = nrt.start_indexing_stream(
+        stream, index_dir, ckpt, text_col="content", lang_col="lang")
+    q.awaitTermination(120)
+
+    idx = nrt.load_nrt_index(spark, index_dir, stored=docs)
+    batch = build_segmented_index(spark, docs, text_col="content",
+                                  lang_col="lang")
+    assert idx.n_docs == batch.n_docs == 240
+    assert idx.avgdl == pytest.approx(batch.avgdl)
+
+    s_nrt, s_batch = Searcher(idx), Searcher(batch)
+    queries = [
+        ast.Term("index", field="content"),
+        ast.Bool(must=(ast.Term("index", field="content"),
+                       ast.Term("merge", field="content"))),
+        ast.Prefix("se", field="content"),
+    ]
+    for qq in queries:
+        a = [tuple(r) for r in s_nrt.search(qq, 10).collect()]
+        b = [tuple(r) for r in s_batch.search(qq, 10).collect()]
+        assert a == b, qq
+
+    # ---- compaction keeps results identical and shrinks segment count
+    pre = idx.n_segments()
+    nrt.compact(spark, index_dir, target_segments=1)
+    idx2 = nrt.load_nrt_index(spark, index_dir, stored=docs)
+    assert idx2.n_segments() == 1 <= pre
+    for qq in queries:
+        a = [tuple(r) for r in Searcher(idx2).search(qq, 10).collect()]
+        b = [tuple(r) for r in s_batch.search(qq, 10).collect()]
+        assert a == b, qq
