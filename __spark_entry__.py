@@ -195,6 +195,26 @@ def _ft_seg_term(spark, sf_dir):
     return Searcher(_seg_index(spark, sf_dir)).search(ast.Term("spark"), K)
 
 
+def _ft_deleted(spark, sf_dir):
+    """Tombstoned deletes (.del anti-join): delete all lang='de' docs,
+    then run a term query over the live set."""
+    s = _searcher(spark, sf_dir)
+    dead = s.index.stored.where("lang = 'de'").select("doc_id")
+    return Searcher(s.index.with_deletes(dead)).search(ast.Term("table"), K)
+
+
+def _ft_mlt(spark, sf_dir):
+    """MoreLikeThis: top-5 tf*idf terms of doc 0 -> disjunctive BM25."""
+    return _searcher(spark, sf_dir).more_like_this(0, max_terms=5, k=K)
+
+
+def _ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann.ivf_topk(emb, [float(x) for x in qv], k=K, nlist=16,
+                        nprobe=4, exclude_id=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- full-text core (SURVEY.md §2.4-2.8) ---
@@ -243,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- compressed segments + block-max WAND (SURVEY.md §2.3/§4.2) ---
         "ft_wand": _ft_wand,
         "ft_seg_term": _ft_seg_term,
+        "ft_deleted": _ft_deleted,
+        "ft_mlt": _ft_mlt,
+        "ann_ivf_topk": _ann_ivf,
         # --- training-data pipeline ops ---
         "dd_exact": _dd_exact,
         "dd_ngram_jaccard": _dd_jaccard,
@@ -310,6 +333,9 @@ def oracle_sql() -> dict[str, str]:
             should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K
         ),
         "ft_seg_term": g.term_query("spark", K),
+        "ft_deleted": g.deleted_term("table", "lang = 'de'", K),
+        "ft_mlt": g.more_like_this(0, 5, K),
+        "ann_ivf_topk": g.ivf_topk(0, K, nlist=16, nprobe=4),
         "dd_exact": g.exact_dups(),
         "dd_ngram_jaccard": g.ngram_jaccard_pairs(3, 0.5),
         "dd_minhash_lsh": g.minhash_lsh_pairs(16, 4, 0.5),

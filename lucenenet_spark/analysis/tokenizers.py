@@ -80,17 +80,20 @@ def tokenize_standard(text: str) -> list[tuple[str, int]]:
 
 
 def tokenize_code(text: str) -> list[tuple[str, int]]:
-    """Code-aware: identifier extraction + camel/snake split, no stop set."""
+    """Code-aware: identifier extraction + camel/snake split, no stop set.
+
+    Single-pass: CODE_SUBTOKEN_RE applied to the raw text yields exactly
+    the per-identifier sub-tokens, because every character it can match is
+    also an identifier character — `_`, whitespace and punctuation separate
+    matches under both the two-pass (identifier, then sub-split) and the
+    one-pass formulation, and positions increment once per sub-token
+    either way. One findall per doc instead of one per identifier."""
     if text is None:
         return []
     out: list[tuple[str, int]] = []
-    pos = 0
-    for ident in CODE_IDENT_RE.findall(text):
-        for sub in CODE_SUBTOKEN_RE.findall(ident):
-            sub = sub.lower()
-            if len(sub) <= MAX_TOKEN_LENGTH:
-                out.append((sub, pos))
-            pos += 1
+    for pos, sub in enumerate(CODE_SUBTOKEN_RE.findall(text)):
+        if len(sub) <= MAX_TOKEN_LENGTH:
+            out.append((sub.lower(), pos))
     return out
 
 

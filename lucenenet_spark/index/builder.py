@@ -66,6 +66,7 @@ class InvertedIndex:
     stored: DataFrame | None = None
     id_col: str = "doc_id"
     fields: tuple[str, ...] = (DEFAULT_FIELD,)
+    tombstones: DataFrame | None = None
     _term_stats: DataFrame | None = dc_field(default=None, repr=False)
 
     @property
@@ -100,6 +101,19 @@ class InvertedIndex:
         )
         got = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         return {p: got.get(p, 0) for p in pairs}
+
+    def with_deletes(self, tombstones: DataFrame) -> "InvertedIndex":
+        """Buffered-deletes analogue (.del bitmap,
+        src/Lucene.Net/Util/BitVector.cs; BufferedDeletes applied at query
+        time as an anti-join instead of at flush). tombstones: DataFrame
+        with a doc_id column; deletes accumulate across calls."""
+        t = tombstones.select(F.col(self.id_col).alias("doc_id")
+                              if self.id_col in tombstones.columns
+                              else F.col("doc_id"))
+        if self.tombstones is not None:
+            t = self.tombstones.unionByName(t).distinct()
+        from dataclasses import replace
+        return replace(self, tombstones=t)
 
     def cache(self) -> "InvertedIndex":
         self.postings = self.postings.cache()

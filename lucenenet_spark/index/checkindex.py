@@ -55,15 +55,22 @@ def _check_rows(pdf_iter):
             if blocks is not None and len(docs):
                 if int(blocks[-1]["last_doc"]) != int(docs[-1]):
                     issues.append((*key, "I5:last_block_last_doc_mismatch"))
+                # block extents come from each block's own last_doc (bulk
+                # merge concatenates block runs, so sizes are irregular)
+                s = 0
                 for bi, b in enumerate(blocks):
-                    s, e = bi * codec.BLOCK_SIZE, min(
-                        (bi + 1) * codec.BLOCK_SIZE, len(docs))
                     if s >= len(docs):
                         issues.append((*key, "I5:extra_block"))
+                        break
+                    e = int(np.searchsorted(docs, int(b["last_doc"]),
+                                            side="right"))
+                    if e <= s:
+                        issues.append((*key, f"I5:block_{bi}_empty"))
                         break
                     if (int(tfs[s:e].max()) > int(b["max_tf"])
                             or int(dls[s:e].min()) < int(b["min_dl"])):
                         issues.append((*key, f"I5:block_{bi}_bound_violated"))
+                    s = e
         yield pd.DataFrame(issues, columns=["field", "term", "seg_id", "issue"])
 
 

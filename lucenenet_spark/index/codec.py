@@ -81,6 +81,60 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(vals, starts)
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (1..10), vectorized."""
+    a = np.ascontiguousarray(values, dtype=_U64)
+    nb = np.ones(len(a), np.int64)
+    tmp = a >> _SEVEN
+    while tmp.any():
+        nb += (tmp > 0)
+        tmp >>= _SEVEN
+    return nb
+
+
+def varint_encode_split(values: np.ndarray, counts: np.ndarray) -> list[bytes]:
+    """Encode a flat value array ONCE, then split the byte stream into one
+    blob per group (counts = values per group). The per-group loop is just
+    memoryview slicing — all numeric work is a single vectorized pass."""
+    buf = varint_encode(values)
+    nb = varint_nbytes(values)
+    val_ends = np.cumsum(counts)
+    byte_cum = np.concatenate([[0], np.cumsum(nb)])
+    ends = byte_cum[val_ends]
+    starts = byte_cum[val_ends - counts]
+    mv = memoryview(buf)
+    return [bytes(mv[s:e]) for s, e in zip(starts, ends)]
+
+
+def segmented_delta_encode(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Delta-encode with the delta chain RESET at each segment start
+    (segment i begins at index starts[i]; starts[0] == 0)."""
+    a = np.ascontiguousarray(values, np.int64)
+    if a.size == 0:
+        return a.astype(_U64)
+    d = np.empty_like(a)
+    d[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=d[1:])
+    s = starts[(starts > 0) & (starts < a.size)]
+    d[s] = a[s]
+    return d.astype(_U64)
+
+
+def segmented_cumsum(deltas: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Inverse of segmented_delta_encode (vectorized per-segment cumsum)."""
+    d = np.ascontiguousarray(deltas, np.int64)
+    if d.size == 0:
+        return d
+    cum = np.cumsum(d)
+    seg_mark = np.zeros(d.size, np.int64)
+    s = starts[starts < d.size]
+    seg_mark[s] = 1
+    seg = np.cumsum(seg_mark) - 1
+    base = np.zeros(len(s), np.int64)
+    base[1:] = cum[s[1:] - 1]
+    return cum - base[seg]
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     a = np.ascontiguousarray(sorted_vals, dtype=np.int64)
     if a.size == 0:

@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-from collections import defaultdict
 from collections.abc import Iterator
 from dataclasses import dataclass, field as dc_field
 
@@ -65,75 +64,229 @@ MERGE_FACTOR = 10  # LogMergePolicy.cs:56
 
 def _invert_partition(field_name: str, id_col: str, text_col: str,
                       lang_col: str | None, positions: bool):
-    """mapInPandas kernel: one segment per input partition."""
+    """mapInPandas kernel: one segment per input partition.
+
+    Vectorized invert: tokenization is the only per-doc Python; everything
+    after (grouping into postings, tf counting, delta+VInt encoding) runs
+    as flat-array numpy/pandas ops over the whole partition at once —
+    factorize terms -> lexsort (term, doc, pos) -> run-length boundaries
+    -> segmented encode, one byte-stream split per term. This is the
+    TermsHashPerField + FreqProxTermsWriter + FormatPostings chain
+    (SURVEY.md §2.3) collapsed into five array passes."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
         seg_id = TaskContext.get().partitionId()
-        acc: dict[str, list] = defaultdict(lambda: [[], [], [], []])
+
+        term_chunks: list[list[str]] = []
+        doc_chunks: list[np.ndarray] = []
+        pos_chunks: list[np.ndarray] = []
+        tok_counts: list[int] = []
+
         for pdf in batches:
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             for doc_id, text, lg in zip(pdf[id_col], pdf[text_col], langs):
                 toks = tokenize(text, lg)
-                dl = len(toks)
-                per_term: dict[str, list[int]] = defaultdict(list)
-                for term, pos in toks:
-                    per_term[term].append(pos)
-                for term, plist in per_term.items():
-                    a = acc[term]
-                    a[0].append(int(doc_id))
-                    a[1].append(len(plist))
-                    a[2].append(dl)
-                    a[3].extend(plist)
-        rows = []
-        for term in sorted(acc):
-            d, t, l, p = acc[term]
-            docs = np.asarray(d, np.int64)
-            order = np.argsort(docs, kind="stable")
-            tfs = np.asarray(t, np.int64)[order]
-            dls = np.asarray(l, np.int64)[order]
-            pos_flat = None
-            if positions:
-                starts = np.concatenate(
-                    [[0], np.cumsum(np.asarray(t, np.int64))[:-1]])
-                allp = np.asarray(p, np.int64)
-                pos_flat = np.concatenate(
-                    [allp[starts[i]:starts[i] + t[i]] for i in order]
-                ) if len(order) else np.empty(0, np.int64)
-            enc = codec.encode_postings(docs[order], tfs, dls, pos_flat)
-            rows.append((field_name, term, seg_id, enc["df"], enc["ttf"],
-                         enc["docs_blob"], enc["tfs_blob"], enc["dls_blob"],
-                         enc["pos_blob"], enc["blocks"]))
-        yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA])
+                n = len(toks)
+                if n == 0:
+                    continue
+                term_chunks.append([t for t, _ in toks])
+                pos_chunks.append(
+                    np.fromiter((p for _, p in toks), np.int64, n))
+                doc_chunks.append(np.full(n, int(doc_id), np.int64))
+                tok_counts.append(n)
+
+        if not term_chunks:
+            yield pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA])
+            return
+
+        import itertools
+        tid, uniq_terms = pd.factorize(
+            pd.Series(list(itertools.chain.from_iterable(term_chunks))),
+            sort=False)
+        tid = tid.astype(np.int64)
+        docv = np.concatenate(doc_chunks)
+        posv = np.concatenate(pos_chunks)
+        # dl per token = emitted-token count of its doc (the .nrm norm)
+        ns = np.asarray(tok_counts, np.int64)
+        dlv = np.repeat(ns, ns)
+
+        order = np.lexsort((posv, docv, tid))
+        tid, docv, posv, dlv = tid[order], docv[order], posv[order], dlv[order]
+
+        # posting boundaries: (term, doc) run starts; term boundaries
+        newpost = np.ones(len(tid), bool)
+        newpost[1:] = (tid[1:] != tid[:-1]) | (docv[1:] != docv[:-1])
+        pstart = np.flatnonzero(newpost)
+        tfs = np.diff(np.concatenate([pstart, [len(tid)]]))
+        p_tid = tid[pstart]
+        p_doc = docv[pstart]
+        p_dl = dlv[pstart]
+
+        newterm = np.ones(len(pstart), bool)
+        newterm[1:] = p_tid[1:] != p_tid[:-1]
+        tstart = np.flatnonzero(newterm)
+        df_t = np.diff(np.concatenate([tstart, [len(pstart)]]))
+        ttf_t = np.add.reduceat(tfs, tstart)
+
+        docs_blobs = codec.varint_encode_split(
+            codec.segmented_delta_encode(p_doc, tstart), df_t)
+        tfs_blobs = codec.varint_encode_split(tfs.astype(np.uint64), df_t)
+        dls_blobs = codec.varint_encode_split(p_dl.astype(np.uint64), df_t)
+        if positions:
+            pos_blobs = codec.varint_encode_split(
+                codec.segmented_delta_encode(posv, pstart), ttf_t)
+        else:
+            pos_blobs = [b""] * len(tstart)
+
+        blocks = [
+            codec.block_maxes(p_doc[s:s + c], tfs[s:s + c], p_dl[s:s + c])
+            for s, c in zip(tstart, df_t)
+        ]
+        yield pd.DataFrame({
+            "field": field_name,
+            "term": uniq_terms[p_tid[tstart]],
+            "seg_id": np.full(len(tstart), seg_id, np.int64),
+            "df": df_t.astype(np.int32),
+            "ttf": ttf_t,
+            "docs_blob": docs_blobs,
+            "tfs_blob": tfs_blobs,
+            "dls_blob": dls_blobs,
+            "pos_blob": pos_blobs,
+            "blocks": blocks,
+        })
 
     return fn
 
 
-def _merge_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: merge one (field, term, group)'s segments."""
-    parts = pdf.sort_values("seg_id").to_dict("records")
-    m = codec.merge_postings(parts)
-    return pd.DataFrame([{
-        "field": keys[0], "term": keys[1], "seg_id": int(keys[2]),
-        "df": m["df"], "ttf": m["ttf"],
-        "docs_blob": m["docs_blob"], "tfs_blob": m["tfs_blob"],
-        "dls_blob": m["dls_blob"], "pos_blob": m["pos_blob"],
-        "blocks": m["blocks"],
-    }])
+def _first_varint(buf: bytes) -> tuple[int, int]:
+    """(value, encoded byte length) of the first varint in buf."""
+    v = 0
+    shift = 0
+    for i, b in enumerate(buf):
+        v |= (b & 0x7F) << shift
+        if b < 0x80:
+            return v, i + 1
+        shift += 7
+    return v, len(buf)
 
 
-def merge_wave(segments: DataFrame, fan_in: int = MERGE_FACTOR) -> DataFrame:
+def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: merge ALL (field, term, merge_group) runs of one
+    key-sorted shuffle partition.
+
+    Bulk-merge fast path (SegmentMerger's raw-copy append analogue,
+    SegmentMerger.cs:801-848): doc_ids are assigned from partition-offset
+    bases, so segments in seg_id order hold DISJOINT ASCENDING doc ranges
+    — a term's merged posting list is the byte CONCATENATION of its
+    per-segment blobs, with only the first doc-delta varint of each
+    subsequent blob re-spliced (new delta = first_doc - prev_last_doc).
+    tf/dl blobs and per-doc position runs concatenate unchanged; block
+    metadata lists concatenate (block sizes become irregular, which the
+    readers handle by locating blocks via last_doc, not a fixed stride).
+    No decompress/recompress of postings volume happens at all.
+
+    Groups whose segment doc ranges are NOT monotone (e.g. compaction of
+    out-of-order NRT segment sets) fall back to a full decode-merge via
+    codec.merge_postings — correctness never depends on the fast path.
+    """
+    pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+    if pdf is None or len(pdf) == 0:
+        yield pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA])
+        return
+
+    n_rows = len(pdf)
+    fld = pdf["field"].to_numpy()
+    trm = pdf["term"].to_numpy()
+    mg = pdf["merge_group"].to_numpy(np.int64)
+    dfs = pdf["df"].to_numpy(np.int64)
+    ttfs = pdf["ttf"].to_numpy(np.int64)
+    docs_bl = [bytes(b) for b in pdf["docs_blob"]]
+    tfs_bl = [bytes(b) for b in pdf["tfs_blob"]]
+    dls_bl = [bytes(b) for b in pdf["dls_blob"]]
+    pos_bl = [bytes(b) if b is not None else b"" for b in pdf["pos_blob"]]
+    blocks_l = [list(b) if b is not None else [] for b in pdf["blocks"]]
+    first_doc = [(_first_varint(b)[0] if b else -1) for b in docs_bl]
+    first_len = [(_first_varint(b)[1] if b else 0) for b in docs_bl]
+    last_doc = [(bl[-1]["last_doc"] if bl else -1) for bl in blocks_l]
+
+    new_grp = np.ones(n_rows, bool)
+    new_grp[1:] = ((fld[1:] != fld[:-1]) | (trm[1:] != trm[:-1])
+                   | (mg[1:] != mg[:-1]))
+    bounds = np.flatnonzero(new_grp).tolist() + [n_rows]
+
+    out: dict[str, list] = {k: [] for k in (
+        "field", "term", "seg_id", "df", "ttf", "docs_blob", "tfs_blob",
+        "dls_blob", "pos_blob", "blocks")}
+
+    for gi in range(len(bounds) - 1):
+        s, e = bounds[gi], bounds[gi + 1]
+        rows = range(s, e)
+        monotone = all(first_doc[r] > last_doc[r - 1]
+                       for r in range(s + 1, e))
+        if monotone:
+            dparts = [docs_bl[s]]
+            for r in range(s + 1, e):
+                delta = first_doc[r] - last_doc[r - 1]
+                dparts.append(
+                    codec.varint_encode(np.array([delta], np.uint64))
+                    + docs_bl[r][first_len[r]:])
+            has_pos = all(len(pos_bl[r]) > 0 or ttfs[r] == 0 for r in rows)
+            out["docs_blob"].append(b"".join(dparts))
+            out["tfs_blob"].append(b"".join(tfs_bl[s:e]))
+            out["dls_blob"].append(b"".join(dls_bl[s:e]))
+            out["pos_blob"].append(b"".join(pos_bl[s:e]) if has_pos else b"")
+            out["df"].append(int(dfs[s:e].sum()))
+            out["ttf"].append(int(ttfs[s:e].sum()))
+            blk: list = []
+            for r in rows:
+                blk.extend(blocks_l[r])
+            out["blocks"].append(blk)
+        else:
+            m = codec.merge_postings([
+                {"docs_blob": docs_bl[r], "tfs_blob": tfs_bl[r],
+                 "dls_blob": dls_bl[r], "pos_blob": pos_bl[r]}
+                for r in rows])
+            for k in ("df", "ttf", "docs_blob", "tfs_blob", "dls_blob",
+                      "pos_blob", "blocks"):
+                out[k].append(m[k])
+        out["field"].append(fld[s])
+        out["term"].append(trm[s])
+        out["seg_id"].append(int(mg[s]))
+
+    yield pd.DataFrame({
+        "field": out["field"], "term": out["term"],
+        "seg_id": np.asarray(out["seg_id"], np.int64),
+        "df": np.asarray(out["df"], np.int32),
+        "ttf": np.asarray(out["ttf"], np.int64),
+        "docs_blob": out["docs_blob"], "tfs_blob": out["tfs_blob"],
+        "dls_blob": out["dls_blob"], "pos_blob": out["pos_blob"],
+        "blocks": out["blocks"],
+    })
+
+
+def merge_wave(segments: DataFrame, fan_in: int = MERGE_FACTOR,
+               num_partitions: int | None = None) -> DataFrame:
     """One geometric merge wave: segment s joins merge-group s // fan_in.
 
-    The shuffle key (field, term, group) spreads every term's postings
-    across all merge groups — the salted two-stage combine of SURVEY §4.2:
-    no single reducer ever sees more than fan_in sub-lists of a hot term.
-    """
+    The shuffle key (field, term, merge_group) spreads every term's
+    postings across partitions AND merge groups — the salted two-stage
+    combine of SURVEY §4.2: no single reducer ever sees more than fan_in
+    sub-lists of a hot term. The merge itself runs one vectorized kernel
+    per shuffle partition (not per term).
+
+    num_partitions is pinned EXPLICITLY: with a bare repartition(cols),
+    AQE's partition coalescing sees a byte-small compressed-blob exchange
+    and collapses the wave onto 1-2 cores (measured: waves ran SLOWER on
+    more cores); an explicit count keeps the merge cluster-wide."""
+    if num_partitions is None:
+        num_partitions = segments.sparkSession.sparkContext.defaultParallelism
     grouped = segments.withColumn(
         "merge_group", (F.col("seg_id") / fan_in).cast("long"))
     return (
-        grouped.groupBy("field", "term", "merge_group")
-        .applyInPandas(_merge_group, SEGMENT_SCHEMA)
+        grouped.repartition(num_partitions, "field", "term", "merge_group")
+        .sortWithinPartitions("field", "term", "merge_group", "seg_id")
+        .mapInPandas(_merge_partition, SEGMENT_SCHEMA)
     )
 
 
@@ -150,7 +303,9 @@ class SegmentedIndex:
     stored: DataFrame | None = None
     id_col: str = "doc_id"
     fields: tuple[str, ...] = ("content",)
+    tombstones: DataFrame | None = None
     _postings: DataFrame | None = dc_field(default=None, repr=False)
+    _postings_nopos: DataFrame | None = dc_field(default=None, repr=False)
     _term_stats: DataFrame | None = dc_field(default=None, repr=False)
 
     @property
@@ -184,6 +339,29 @@ class SegmentedIndex:
             )
         return self._postings
 
+    @property
+    def postings_nopos(self) -> DataFrame:
+        """Positions-free decoded view (field, term, doc_id, tf, dl).
+
+        Term/boolean/range scoring never reads positions; skipping the
+        .prx decode (the nested array<array<int>> is the dominant decode +
+        Arrow-transfer cost) is the reference's omitTf/lazy-prox behavior
+        (SegmentTermDocs vs SegmentTermPositions split)."""
+        if self._postings_nopos is None:
+            dec = _decode_nopos_udf()
+            z = dec(F.col("docs_blob"), F.col("tfs_blob"), F.col("dls_blob"))
+            self._postings_nopos = (
+                self.segments
+                .withColumn("_p", F.explode(F.arrays_zip(
+                    z["docs"].alias("doc_id"), z["tfs"].alias("tf"),
+                    z["dls"].alias("dl"))))
+                .select("field", "term",
+                        F.col("_p.doc_id").alias("doc_id"),
+                        F.col("_p.tf").alias("tf"),
+                        F.col("_p.dl").alias("dl"))
+            )
+        return self._postings_nopos
+
     def term_stats(self) -> DataFrame:
         """Term dictionary straight from segment rows — no decode needed."""
         if self._term_stats is None:
@@ -206,6 +384,17 @@ class SegmentedIndex:
         )
         got = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         return {p: got.get(p, 0) for p in pairs}
+
+    def with_deletes(self, tombstones: DataFrame) -> "SegmentedIndex":
+        """.del-bitmap analogue: query-time anti-join tombstones; physical
+        purge happens at the next merge wave/compaction."""
+        t = tombstones.select(F.col(self.id_col).alias("doc_id")
+                              if self.id_col in tombstones.columns
+                              else F.col("doc_id"))
+        if self.tombstones is not None:
+            t = self.tombstones.unionByName(t).distinct()
+        from dataclasses import replace
+        return replace(self, tombstones=t)
 
     def cache(self) -> "SegmentedIndex":
         self.segments = self.segments.cache()
@@ -240,6 +429,28 @@ class SegmentedIndex:
                    stats=IndexStats(meta["n_docs"], meta["total_tokens"]),
                    stored=stored, id_col=meta["id_col"],
                    fields=tuple(meta["fields"]))
+
+
+_DECODE_NOPOS_SCHEMA = T.StructType([
+    T.StructField("docs", T.ArrayType(T.LongType())),
+    T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    T.StructField("dls", T.ArrayType(T.IntegerType())),
+])
+
+
+def _decode_nopos_udf():
+    @F.pandas_udf(_DECODE_NOPOS_SCHEMA)
+    def dec(docs_b: pd.Series, tfs_b: pd.Series,
+            dls_b: pd.Series) -> pd.DataFrame:
+        docs_o, tfs_o, dls_o = [], [], []
+        for db, tb, lb in zip(docs_b, tfs_b, dls_b):
+            d, t, l, _ = codec.decode_postings(bytes(db), bytes(tb),
+                                               bytes(lb), b"")
+            docs_o.append(d.tolist())
+            tfs_o.append(t.tolist())
+            dls_o.append(l.tolist())
+        return pd.DataFrame({"docs": docs_o, "tfs": tfs_o, "dls": dls_o})
+    return dec
 
 
 _DECODE_SCHEMA = T.StructType([
@@ -282,11 +493,18 @@ def build_segmented_index(
     lang_col: str | None = None,
     positions: bool = True,
     field_name: str | None = None,
-    fan_in: int = MERGE_FACTOR,
+    fan_in: int | None = None,
     target_segments: int = 1,
     checkpoint_dir: str | None = None,
 ) -> SegmentedIndex:
-    """docs -> per-partition segments -> geometric merge waves.
+    """docs -> per-partition segments -> merge wave(s).
+
+    fan_in=None (default) merges in ONE wave straight to target_segments —
+    optimal for a one-shot batch build, where every geometric wave would
+    re-decode/re-encode the full postings volume (measured: each wave
+    costs more than the invert itself). Pass fan_in (e.g. the reference's
+    mergeFactor 10, LogMergePolicy.cs:56) for incremental/NRT compaction
+    where bounded fan-in and intermediate commits matter.
 
     With checkpoint_dir set, every wave commits to parquet with a lineage
     row and a previously-interrupted build resumes at the last committed
@@ -306,10 +524,11 @@ def build_segmented_index(
     if checkpoint_dir:
         seg, wave = _commit_wave(spark, seg, checkpoint_dir, 0, lineage)
 
-    # geometric merge: n_partitions -> ceil(n/fan_in) -> ... -> target
+    # merge: one shot (fan_in=None) or geometric waves down to target
     n = docs.rdd.getNumPartitions()
     while n > target_segments:
-        fan = fan_in
+        fan = fan_in if fan_in is not None else (
+            (n + target_segments - 1) // target_segments)
         if (n + fan - 1) // fan < target_segments:
             fan = (n + target_segments - 1) // target_segments
         seg = merge_wave(seg, fan)

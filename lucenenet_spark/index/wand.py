@@ -69,12 +69,17 @@ def _segment_kernel(term_weights: dict[str, float], avgdl: float, k: int):
             n = len(docs)
             if n == 0:
                 continue
-            # block id per posting -> per-posting upper bound from metadata
+            # block id per posting -> per-posting upper bound from metadata.
+            # Blocks are located by last_doc (searchsorted), NOT by a fixed
+            # BLOCK_SIZE stride: bulk-merged segments concatenate block runs,
+            # so block sizes are irregular (the skip-list datum carries its
+            # own doc boundary, DefaultSkipListReader.cs analogue).
             blocks = row.blocks
             bmax_tf = np.array([b["max_tf"] for b in blocks], np.int64)
             bmin_dl = np.array([b["min_dl"] for b in blocks], np.int64)
+            blast = np.array([b["last_doc"] for b in blocks], np.int64)
             bub = w * _tf_norm_np(bmax_tf, bmin_dl, avgdl)
-            bid = np.arange(n) // codec.BLOCK_SIZE
+            bid = np.searchsorted(blast, docs, side="left")
             doc_parts.append(docs)
             contrib_parts.append((docs, tfs, dls, w))
             ub_parts.append(bub[bid])

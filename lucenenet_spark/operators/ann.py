@@ -117,3 +117,57 @@ def _bucket_of(vec: list[float], table: int, planes: int) -> int:
         if dot >= 0:
             b |= 1 << p
     return b
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_assign(emb: DataFrame, nlist: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Coarse quantization: cell = argmax-cosine centroid; centroids are
+    the embeddings of the `nlist` lowest vec_ids (deterministic, oracle-
+    reproducible — a k-means refinement would drop in here without
+    changing the probe path). Ties broken by lower centroid id; cosines
+    rounded to 6dp first so Spark and the SQL oracle agree bit-for-bit."""
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in emb.select(id_col, vec_col).where(F.col(id_col) < nlist).collect()
+    )
+    scored = F.array(*[
+        F.struct(
+            (-F.round(_dot(F.col(vec_col), F.array(*[F.lit(c) for c in cv]))
+                      / (_norm(F.col(vec_col))
+                         * F.lit(sum(c * c for c in cv) ** 0.5)), ROUND)
+             ).alias("negcos"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, cv in cents
+    ])
+    best = F.array_min(scored)["cid"]
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding"),
+                      best.alias("cell"))
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             nlist: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             exclude_id: int | None = None) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query, exact-scan only
+    the nprobe nearest cells. Deterministic end-to-end, so (unlike rp_lsh)
+    this has an exact SQL oracle. At 100TB the assignment table is
+    precomputed and partitioned BY cell — a probe prunes to nprobe
+    partitions before any distance math."""
+    assigned = ivf_assign(emb, nlist, id_col, vec_col)
+    cents = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select(id_col, vec_col).where(F.col(id_col) < nlist).collect()
+    }
+    qn = sum(x * x for x in query_vec) ** 0.5
+
+    def cos_to_q(cv):
+        cn = sum(c * c for c in cv) ** 0.5
+        return round(sum(float(a) * c for a, c in zip(query_vec, cv)) / (qn * cn), ROUND)
+
+    probe = sorted(cents, key=lambda cid: (-cos_to_q(cents[cid]), cid))[:nprobe]
+    cand = assigned.where(F.col("cell").isin(probe))
+    return cosine_topk(cand, query_vec, k, "vec_id", "embedding", exclude_id)

@@ -113,25 +113,41 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+M30 = (1 << 30) - 1
+MH_PRIME = (1 << 61) - 1
+
+
+def mh_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine constants (a_i, b_i) for the minhash family
+    h_i(x) = (a_i * (md5_60(x) & M30) + b_i) % MH_PRIME — ONE md5 per token
+    derives every hash function; products stay < 2^60 so the identical
+    arithmetic runs in DuckDB BIGINTs without overflow."""
+    return [
+        ((1103515245 * i + 12345) % (1 << 30) | 1,
+         (2654435761 * i + 99991) % (1 << 30))
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16) -> DataFrame:
-    """(doc_id, sig: array<long>) — sig[i] = min over tokens of
-    h_i(tok) = md5-60bit(i || ':' || tok).  All array ops, no explode."""
+    """(doc_id, sig: array<long>) — sig[i] = min over tokens of h_i(tok).
+    All array higher-order functions; the md5 token hashes are materialized
+    once per doc (a real column, not re-evaluated per hash function)."""
     toks = F.array_distinct(_tok_array(text_col))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                toks,
-                lambda t: _hash60(F.concat(i.cast("string"), F.lit(":"), t)),
-            )
-        ),
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("n_tok"),
-                    sig.alias("sig"))
-        .where(F.col("n_tok") > 0)
-    )
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tok"),
+        F.transform(toks, lambda t: _hash60(t).bitwiseAND(F.lit(M30))).alias("hm"),
+    ).where(F.col("n_tok") > 0)
+    def _affine_min(a: int, b: int):
+        return F.array_min(F.transform(
+            F.col("hm"),
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME),
+        ))
+
+    sig = F.array(*[_affine_min(a, b) for a, b in mh_consts(num_hashes)])
+    return hashed.select("doc_id", "n_tok", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
@@ -164,27 +180,23 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact-verify candidates with token-set Jaccard (1-gram shingles)
-    tok = docs.select(
+    # exact-verify candidates with token-SET Jaccard computed per pair as
+    # an in-row array_intersect (no explode-join: two hash joins bringing
+    # each side's sorted-distinct token array to the pair, then JVM set
+    # intersection — at cluster scale the token-array table is the small,
+    # bucketable side)
+    tokarr = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(_tok_array(text_col))).alias("tok"),
+        F.array_sort(F.array_distinct(_tok_array(text_col))).alias("ta"),
     )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a").join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    ).cast("double")
+    pa = tokarr.select(F.col("doc_id").alias("doc_a"), F.col("ta").alias("arr_a"))
+    pb = tokarr.select(F.col("doc_id").alias("doc_b"), F.col("ta").alias("arr_b"))
+    inter = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("double")
+    union = (F.size("arr_a") + F.size("arr_b")).cast("double") - inter
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, ROUND).alias("jaccard"))
+        cand.join(pa, "doc_a").join(pb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.round(inter / union, ROUND).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

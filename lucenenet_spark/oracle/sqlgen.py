@@ -188,6 +188,83 @@ SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
 {_topk(k)}"""
 
 
+def deleted_term(term: str, delete_pred: str, k: int = 10,
+                 table: str = "documents") -> str:
+    """Term query over an index with tombstoned docs (delete_pred selects
+    the deleted rows) — the .del-bitmap anti-join."""
+    return f"""WITH {base_ctes(table)}
+SELECT p.doc_id, round({_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+  AND p.doc_id NOT IN (SELECT doc_id FROM {table} WHERE {delete_pred})
+{_topk(k)}"""
+
+
+def more_like_this(src_doc: int, max_terms: int = 5, k: int = 10,
+                   table: str = "documents") -> str:
+    """Top tf*idf terms of src_doc -> disjunctive BM25, source excluded.
+    Selection: tf * idf desc, term asc, LIMIT max_terms (must match
+    Searcher.more_like_this exactly)."""
+    return f"""WITH {base_ctes(table)},
+mlt AS (
+  SELECT p.term
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.doc_id = {src_doc}
+  ORDER BY p.tf * ln(1 + (st.n - f.df + 0.5)/(f.df + 0.5)) DESC, p.term
+  LIMIT {max_terms}
+),
+sc AS (
+  SELECT p.doc_id, {_bm25()} AS s
+  FROM post p JOIN mlt USING (term) JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.doc_id <> {src_doc}
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+{_topk(k)}"""
+
+
+def ivf_topk(query_id: int = 0, k: int = 10, nlist: int = 16,
+             nprobe: int = 4, table: str = "embeddings") -> str:
+    """IVF probe: centroids = embeddings of vec_id < nlist; cell = argmax
+    round(cosine,6) (ties -> lower centroid id); probe the nprobe cells
+    nearest the query; exact cosine top-k inside them."""
+    return f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM {table} WHERE vec_id < {nlist}
+),
+q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+cosqc AS (
+  SELECT c.cid,
+         round(list_dot_product(c.cv::DOUBLE[], q.qv::DOUBLE[]) /
+               (sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos
+  FROM cent c CROSS JOIN q
+),
+probe AS (SELECT cid FROM cosqc ORDER BY cos DESC, cid LIMIT {nprobe}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) /
+                            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                             sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))), 6) DESC,
+                      c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM {table} e
+  JOIN assign a USING (vec_id) JOIN probe p ON a.cid = p.cid
+)
+SELECT c.vec_id,
+       round(list_dot_product(c.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+             (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cosine
+FROM cand c CROSS JOIN q
+WHERE c.vec_id <> {query_id}
+ORDER BY cosine DESC, c.vec_id LIMIT {k}"""
+
+
 def matchall(k: int, boost: float = 1.0, table: str = "documents",
              id_col: str = "doc_id") -> str:
     return f"""SELECT {id_col} AS doc_id, {boost}::DOUBLE AS score FROM {table}
@@ -297,15 +374,23 @@ FROM inter WHERE round(i::DOUBLE/(na + nb - i), 6) >= {threshold}"""
 
 def minhash_lsh_pairs(num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5, table: str = "documents") -> str:
+    from ..operators.dedup import M30, MH_PRIME, mh_consts
+
     rows = num_hashes // bands
+    consts = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                       for i, (a, b) in enumerate(mh_consts(num_hashes)))
     return f"""WITH {_raw_tok_cte(table)},
 toku AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM raw WHERE len(toks) > 0),
 sizes AS (SELECT doc_id, count(*) AS n FROM toku GROUP BY doc_id),
+tokh AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT & {M30} AS hm
+  FROM toku
+),
+hc AS (SELECT * FROM (VALUES {consts}) v(i, a, b)),
 mh AS (
-  SELECT t.doc_id, s.i,
-         min(('0x' || substr(md5(s.i::VARCHAR || ':' || t.tok), 1, 15))::BIGINT) AS mv
-  FROM toku t CROSS JOIN (SELECT unnest(generate_series(0, {num_hashes - 1})) AS i) s
-  GROUP BY t.doc_id, s.i
+  SELECT t.doc_id, c.i, min((c.a * t.hm + c.b) % {MH_PRIME}) AS mv
+  FROM tokh t CROSS JOIN hc c
+  GROUP BY t.doc_id, c.i
 ),
 banded AS (
   SELECT doc_id, i // {rows} AS band,

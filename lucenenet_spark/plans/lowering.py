@@ -65,12 +65,29 @@ class Searcher:
         self.index = index
         self.spark = index.spark
 
+    @property
+    def _postings_nopos(self) -> DataFrame:
+        """Positions-free postings view when the index offers one (the
+        segmented path skips the .prx decode entirely for term/boolean/
+        range scoring); falls back to the full view."""
+        p = getattr(self.index, "postings_nopos", None)
+        return p if p is not None else self.index.postings
+
     # ------------------------------------------------------------------ api
+
+    def _live(self, frame: DataFrame) -> DataFrame:
+        """Apply the deletes bitmap (anti-join on tombstones — the
+        query-time .del check, src/Lucene.Net/Index/SegmentTermDocs.cs
+        deletedDocs.Get)."""
+        t = getattr(self.index, "tombstones", None)
+        if t is None:
+            return frame
+        return frame.join(t, "doc_id", "left_anti")
 
     def search(self, q: ast.Query, k: int = 10) -> DataFrame:
         """TopDocs analogue: (doc_id, score) rows, score desc, ties by
         ascending doc_id (HitQueue.cs:87-93)."""
-        frame = self.score_frame(ast.rewrite(q))
+        frame = self._live(self.score_frame(ast.rewrite(q)))
         s = bm25.rounded(F.col("score"))
         return (
             frame.select(F.col("doc_id"), s.alias("score"))
@@ -80,12 +97,44 @@ class Searcher:
 
     def count(self, q: ast.Query) -> int:
         """totalHits analogue."""
-        return self.score_frame(ast.rewrite(q)).count()
+        return self._live(self.score_frame(ast.rewrite(q))).count()
+
+    def more_like_this(self, doc_id: int, max_terms: int = 5, k: int = 10,
+                       field: str | None = None) -> DataFrame:
+        """MoreLikeThis (src/contrib/Queries/Similar/MoreLikeThis.cs):
+        extract the source doc's top tf*idf terms, run them as a
+        disjunctive BM25 query, exclude the source doc itself.
+        Term selection: tf * idf desc, term asc, top max_terms."""
+        field = field or self.index.fields[0]
+        n = self.index.n_docs
+        doc_terms = (
+            self._postings_nopos
+            .where((F.col("field") == field) & (F.col("doc_id") == doc_id))
+            .select("term", "tf").collect()
+        )
+        if not doc_terms:
+            return self._empty_frame()
+        dfs = self._term_df_map([(field, r["term"]) for r in doc_terms])
+        ranked = sorted(
+            ((r["tf"] * _idf(dfs[(field, r["term"])], n), r["term"])
+             for r in doc_terms),
+            key=lambda x: (-x[0], x[1]),
+        )[:max_terms]
+        q = ast.Bool(should=tuple(
+            ast.Term(t, field=field) for _, t in ranked))
+        hits = self.score_frame(ast.rewrite(q)).where(
+            F.col("doc_id") != doc_id)
+        s = bm25.rounded(F.col("score"))
+        return (
+            self._live(hits).select("doc_id", s.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
 
     def facet_counts(self, q: ast.Query, facet_col: str) -> DataFrame:
         """SimpleFacetedSearch analogue: facet counts over matching docs
         (src/contrib/SimpleFacetedSearch/SimpleFacetedSearch.cs)."""
-        hits = self.score_frame(ast.rewrite(q)).select("doc_id")
+        hits = self._live(self.score_frame(ast.rewrite(q))).select("doc_id")
         stored = self.index.stored
         return (
             stored.join(hits, stored[self.index.id_col] == hits["doc_id"], "left_semi")
@@ -96,7 +145,7 @@ class Searcher:
     def search_sorted(self, q: ast.Query, sort_exprs: list, k: int = 10) -> DataFrame:
         """TopFieldCollector analogue: sort hits by stored-field expressions
         (src/Lucene.Net/Search/TopFieldCollector.cs)."""
-        hits = self.score_frame(ast.rewrite(q)).select("doc_id")
+        hits = self._live(self.score_frame(ast.rewrite(q))).select("doc_id")
         stored = self.index.stored
         joined = stored.join(
             hits, stored[self.index.id_col] == hits["doc_id"], "left_semi"
@@ -147,7 +196,7 @@ class Searcher:
         df = self._term_df_map([(q.field, q.term)])[(q.field, q.term)]
         if df == 0:
             return self._empty_frame()
-        p = self.index.postings.where(
+        p = self._postings_nopos.where(
             (F.col("field") == q.field) & (F.col("term") == q.term)
         )
         score = bm25.term_score(
@@ -161,7 +210,7 @@ class Searcher:
         if stored is not None:
             ids = stored.select(F.col(self.index.id_col).alias("doc_id"))
         else:
-            ids = self.index.postings.select("doc_id").distinct()
+            ids = self._postings_nopos.select("doc_id").distinct()
         return ids.select("doc_id", F.lit(float(q.boost)).alias("score"))
 
     # ---- boolean composition: ONE union + ONE groupBy(doc_id)
@@ -234,7 +283,17 @@ class Searcher:
         offdf = self.spark.createDataFrame(
             pairs, "field string, term string, qoff int"
         )
-        p = self.index.postings.join(F.broadcast(offdf), ["field", "term"])
+        # Static (field, term IN ...) predicate FIRST so Catalyst pushes it
+        # below the segmented view's decode UDF + explode (term-dictionary
+        # seek: only the query terms' blobs decompress); the broadcast join
+        # then only attaches qoff to the already-tiny frame. A bare join
+        # would evaluate after a full-index decode.
+        p = (
+            self.index.postings
+            .where((F.col("field") == q.field)
+                   & F.col("term").isin(sorted({t for _, t, _ in pairs})))
+            .join(F.broadcast(offdf), ["field", "term"])
+        )
         per_doc = (
             p.groupBy("doc_id", "dl")
             .agg(
@@ -315,7 +374,7 @@ class Searcher:
         """CONSTANT_SCORE_FILTER rewrite: no term enumeration, direct
         predicate on the postings term column -> distinct doc set."""
         return (
-            self.index.postings.where(
+            self._postings_nopos.where(
                 (F.col("field") == q.field) & self._term_predicate(q)
             )
             .select("doc_id")
@@ -348,7 +407,7 @@ class Searcher:
         frames = []
         for r in cand:
             tb = (r["sim"] - q.min_similarity) / (1.0 - q.min_similarity)
-            p = self.index.postings.where(
+            p = self._postings_nopos.where(
                 (F.col("field") == q.field) & (F.col("term") == r["term"])
             )
             score = bm25.term_score(

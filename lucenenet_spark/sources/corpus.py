@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import random
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -44,28 +43,39 @@ def _vocab(n: int = 2000) -> list[str]:
 
 
 def gen_corpus_rows(n_rows: int, seed: int = 42) -> list[tuple]:
-    """(repo, path, commit, lang, content) rows, deterministic."""
-    rng = random.Random(seed)
-    vocab = _vocab()
-    # Zipf-ish weights: p(rank r) ~ 1/(r+1)
-    weights = [1.0 / (r + 1) for r in range(len(vocab))]
+    """(repo, path, commit, lang, content) rows, deterministic.
+
+    Vectorized (numpy) generator: Zipf-sampled words drawn in ONE choice()
+    call for the whole corpus, number/punctuation sprinkles applied by
+    positional masks — the driver-side generator must not become the
+    serial bottleneck of a scaling measurement."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = np.asarray(_vocab(), dtype=object)
+    w = 1.0 / np.arange(1.0, len(vocab) + 1.0)
+    w /= w.sum()
+
+    n_tok = rng.integers(20, 401, size=n_rows)
+    bounds = np.concatenate([[0], np.cumsum(n_tok)])
+    total = int(bounds[-1])
+    words = vocab[rng.choice(len(vocab), size=total, p=w)]
+    pos = np.arange(total) - np.repeat(bounds[:-1], n_tok)
+    num_mask = pos % 17 == 5
+    punct_mask = pos % 11 == 3
+    nums = rng.integers(0, 10000, size=int(num_mask.sum()))
+    words[num_mask] = words[num_mask] + " " + nums.astype(str).astype(object)
+    puncts = rng.choice(np.asarray([",", ".", ";", "(", ")"], object),
+                        size=int(punct_mask.sum()))
+    words[punct_mask] = words[punct_mask] + " " + puncts
+
     rows = []
     for i in range(n_rows):
         lang = _LANGS[i % len(_LANGS)]
         repo = f"org{i % 7}/repo{i % 23}"
         path = f"src/mod{i % 11}/file{i}.{_EXT[lang]}"
         commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
-        n_tok = rng.randint(20, 400)
-        words = rng.choices(vocab, weights=weights, k=n_tok)
-        # sprinkle numbers + punctuation
-        content_parts = []
-        for j, w in enumerate(words):
-            content_parts.append(w)
-            if j % 17 == 5:
-                content_parts.append(str(rng.randint(0, 9999)))
-            if j % 11 == 3:
-                content_parts.append(rng.choice([",", ".", ";", "(", ")"]))
-        content = " ".join(content_parts)
+        content = " ".join(words[bounds[i]:bounds[i + 1]].tolist())
         rows.append((repo, path, commit, lang, content))
     return rows
 

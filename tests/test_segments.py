@@ -200,3 +200,98 @@ def test_content_sha_rollup(spark, corpus):
     # identical source -> identical rollup (per-row invariant check)
     again = content_sha_rollup(corpus, "content").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ------------------------------------------------- bulk-merge kernel (unit)
+
+
+def _seg_row(field, term, mg, enc):
+    return {"field": field, "term": term, "merge_group": mg,
+            "df": enc["df"], "ttf": enc["ttf"], "seg_id": 0,
+            "docs_blob": enc["docs_blob"], "tfs_blob": enc["tfs_blob"],
+            "dls_blob": enc["dls_blob"], "pos_blob": enc["pos_blob"],
+            "blocks": enc["blocks"]}
+
+
+def _run_merge(rows):
+    import pandas as pd
+    from lucenenet_spark.index.segments import _merge_partition
+    out = list(_merge_partition(iter([pd.DataFrame(rows)])))
+    return pd.concat(out, ignore_index=True)
+
+
+def test_bulk_merge_fastpath_equals_decode_merge():
+    """Disjoint-ascending segments: spliced byte concat must decode to the
+    same postings a full decode-merge produces (and the docs/tfs/dls blobs
+    are byte-identical to re-encoding the merged list)."""
+    rng = np.random.default_rng(7)
+    encs = []
+    base = 0
+    for seg in range(4):
+        n = int(rng.integers(1, 200))
+        docs = base + np.sort(rng.choice(500, n, replace=False))
+        base = int(docs[-1]) + 1 + int(rng.integers(0, 100))
+        tfs = rng.integers(1, 9, n)
+        dls = rng.integers(20, 400, n)
+        pos = np.concatenate(
+            [np.sort(rng.choice(4000, t, replace=False)) for t in tfs])
+        encs.append(codec.encode_postings(docs, tfs, dls, pos))
+    merged = _run_merge([_seg_row("content", "x", 0, e) for e in encs])
+    assert len(merged) == 1
+    row = merged.iloc[0]
+    ref = codec.merge_postings([
+        {k: e[k] for k in ("docs_blob", "tfs_blob", "dls_blob", "pos_blob")}
+        for e in encs])
+    d, t, l, p = codec.decode_postings(
+        row["docs_blob"], row["tfs_blob"], row["dls_blob"], row["pos_blob"])
+    rd, rt, rl, rp = codec.decode_postings(
+        ref["docs_blob"], ref["tfs_blob"], ref["dls_blob"], ref["pos_blob"])
+    assert (d == rd).all() and (t == rt).all() and (l == rl).all()
+    assert (p == rp).all()
+    assert int(row["df"]) == ref["df"] and int(row["ttf"]) == ref["ttf"]
+    # fast path concat is byte-identical for tf/dl/pos streams
+    assert bytes(row["tfs_blob"]) == ref["tfs_blob"]
+    assert bytes(row["dls_blob"]) == ref["dls_blob"]
+    assert bytes(row["pos_blob"]) == ref["pos_blob"]
+    # blocks: last_doc of final block matches, bounds cover all docs
+    assert row["blocks"][-1]["last_doc"] == int(d[-1])
+
+
+def test_bulk_merge_fallback_on_overlap():
+    """Overlapping doc ranges (out-of-order NRT compaction) take the
+    decode-merge fallback and still interleave correctly."""
+    a = codec.encode_postings(np.array([1, 50, 90]), np.array([1, 2, 1]),
+                              np.array([10, 10, 10]),
+                              np.array([3, 1, 4, 9]))
+    b = codec.encode_postings(np.array([5, 60]), np.array([1, 1]),
+                              np.array([12, 12]), np.array([2, 8]))
+    merged = _run_merge([_seg_row("content", "y", 0, a),
+                         _seg_row("content", "y", 0, b)])
+    d, t, l, p = codec.decode_postings(
+        merged.iloc[0]["docs_blob"], merged.iloc[0]["tfs_blob"],
+        merged.iloc[0]["dls_blob"], merged.iloc[0]["pos_blob"])
+    assert d.tolist() == [1, 5, 50, 60, 90]
+    assert t.tolist() == [1, 1, 2, 1, 1]
+    assert p.tolist() == [3, 2, 1, 4, 8, 9]
+
+
+def test_bulk_merge_multi_term_groups():
+    """Rows for several (term, merge_group) keys in one partition merge
+    independently; single-row groups pass through unchanged."""
+    e1 = codec.encode_postings(np.array([2, 4]), np.array([1, 1]),
+                               np.array([5, 5]), np.array([0, 1]))
+    e2 = codec.encode_postings(np.array([10]), np.array([3]),
+                               np.array([8]), np.array([0, 2, 5]))
+    merged = _run_merge([
+        _seg_row("content", "aa", 0, e1),
+        _seg_row("content", "aa", 0, e2),
+        _seg_row("content", "bb", 1, e2),
+    ])
+    assert len(merged) == 2
+    aa = merged[merged["term"] == "aa"].iloc[0]
+    d, t, _, _ = codec.decode_postings(
+        aa["docs_blob"], aa["tfs_blob"], aa["dls_blob"], aa["pos_blob"])
+    assert d.tolist() == [2, 4, 10] and t.tolist() == [1, 1, 3]
+    bb = merged[merged["term"] == "bb"].iloc[0]
+    assert bytes(bb["docs_blob"]) == e2["docs_blob"]
+    assert int(bb["seg_id"]) == 1
