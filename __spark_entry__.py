@@ -243,6 +243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": _search(ast.Phrase(("table", "hash"))),
         "ft_phrase3": _search(ast.Phrase(("merge", "group", "part"), slop=0)),
         "ft_phrase_slop": _search(ast.Phrase(("spark", "merge"), slop=3)),
+        "ft_multiphrase": _search(
+            ast.MultiPhrase((("table", "merge"), ("hash", "group")))
+        ),
+        "ft_numeric_range": _search(ast.NumericRange("n_chars", 200, 400)),
+        "ft_boosting": _search(
+            ast.Boosting(ast.Term("table"), ast.Term("hash"), 0.5)
+        ),
+        "ft_dedup_key": _search(ast.DedupByKey(ast.Term("merge"), "source")),
         "ft_prefix": _search(ast.Prefix("s")),
         "ft_wildcard": _search(ast.Wildcard("s?an")),
         "ft_range": _search(ast.TermRange("query", "sort")),
@@ -305,6 +313,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase": g.phrase_query(["table", "hash"], k=K),
         "ft_phrase3": g.phrase_query(["merge", "group", "part"], k=K),
         "ft_phrase_slop": g.phrase_query(["spark", "merge"], slop=3, k=K),
+        "ft_multiphrase": g.multiphrase_query(
+            [["table", "merge"], ["hash", "group"]], k=K),
+        "ft_numeric_range": g.numeric_range("n_chars", 200, 400, k=K),
+        "ft_boosting": g.boosting_query("table", "hash", 0.5, K),
+        "ft_dedup_key": g.dedup_by_key("merge", "source", K),
         "ft_prefix": g.constant_multiterm("term LIKE 's%'", 1.0, K),
         "ft_wildcard": g.constant_multiterm("regexp_matches(term, '^s.an$')", 1.0, K),
         "ft_range": g.constant_multiterm(

@@ -146,7 +146,72 @@ class OracleIndex:
             return {d: q.boost for d in docs}
         if isinstance(q, ast.Fuzzy):
             return self._fuzzy_scores(q)
+        if isinstance(q, ast.MultiPhrase):
+            return self._multiphrase_scores(q)
+        if isinstance(q, ast.NumericRange):
+            out = {}
+            for d, row in self.docs.items():
+                v = row.get(q.column)
+                if v is None:
+                    continue
+                if q.lower is not None and (
+                        v < q.lower or (v == q.lower and not q.include_lower)):
+                    continue
+                if q.upper is not None and (
+                        v > q.upper or (v == q.upper and not q.include_upper)):
+                    continue
+                out[d] = q.boost
+            return out
+        if isinstance(q, ast.Boosting):
+            m = self.score_map(q.match)
+            ctx = set(self.score_map(q.context))
+            return {d: s * (q.context_boost if d in ctx else 1.0) * q.boost
+                    for d, s in m.items()}
+        if isinstance(q, ast.DedupByKey):
+            inner = self.score_map(q.query)
+            best: dict[object, int] = {}
+            for d in sorted(inner):
+                key = self.docs[d].get(q.key_col)
+                if key not in best:
+                    best[key] = d
+            return {d: inner[d] * q.boost for d in best.values()}
         raise NotImplementedError(type(q).__name__)
+
+    def _multiphrase_scores(self, q: ast.MultiPhrase) -> dict[int, float]:
+        offsets = q.resolved_offsets()
+        per_pos_terms = []
+        for alts in q.terms_at:
+            present = [t for t in alts if t in self.post[q.field]]
+            if not present:
+                return {}
+            per_pos_terms.append(present)
+        idf_sum = sum(self.idf(q.field, t)
+                      for alts in per_pos_terms for t in alts)
+        cand: set[int] | None = None
+        for alts in per_pos_terms:
+            docs = set()
+            for t in alts:
+                docs |= set(self.pos[q.field][t])
+            cand = docs if cand is None else cand & docs
+        out = {}
+        for d in cand or set():
+            shifted = []
+            ok = True
+            for alts, o in zip(per_pos_terms, offsets):
+                ps = set()
+                for t in alts:
+                    ps |= {p - o for p in self.pos[q.field][t].get(d, ())}
+                if not ps:
+                    ok = False
+                    break
+                shifted.append(ps)
+            if not ok:
+                continue
+            freq = float(len(set.intersection(*shifted)))
+            if freq > 0:
+                out[d] = (q.boost * idf_sum
+                          * self.tf_norm(freq, self.dl[q.field][d]))
+        return out
 
     def _expand(self, q: ast.Query) -> list[str]:
         terms = self.post[q.field].keys()

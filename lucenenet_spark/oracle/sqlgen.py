@@ -188,6 +188,96 @@ SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
 {_topk(k)}"""
 
 
+def multiphrase_query(terms_at: list[list[str]],
+                      offsets: list[int] | None = None, k: int = 10,
+                      boost: float = 1.0, table: str = "documents") -> str:
+    """MultiPhraseQuery: per position an IN-set of alternatives; a doc
+    matches at base b iff every position has SOME alternative aligned.
+    idf sums over all alternative terms present in the index."""
+    offs = offsets if offsets is not None else list(range(len(terms_at)))
+    all_terms = ",".join(f"('{t}')" for alts in terms_at for t in alts)
+    idf_cte = f"""idfv AS (
+  SELECT sum(ln(1 + (st.n - f.df + 0.5)/(f.df + 0.5))) AS v
+  FROM (VALUES {all_terms}) q(term) JOIN dfs f USING (term) CROSS JOIN st
+)"""
+    joins = []
+    for i, (alts, o) in enumerate(zip(terms_at, offs)):
+        inl = ",".join(f"'{t}'" for t in alts)
+        if i == 0:
+            continue
+        joins.append(
+            f"JOIN tokens t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos - {o} = t0.pos - {offs[0]} "
+            f"AND t{i}.term IN ({inl})")
+    in0 = ",".join(f"'{t}'" for t in terms_at[0])
+    return f"""WITH {base_ctes(table)},
+{idf_cte},
+cand AS (
+  SELECT t0.doc_id, t0.pos - {offs[0]} AS base
+  FROM tokens t0 {' '.join(joins)}
+  WHERE t0.term IN ({in0})
+),
+freqs AS (SELECT doc_id, count(DISTINCT base)::DOUBLE AS freq
+          FROM cand GROUP BY doc_id)
+SELECT fr.doc_id,
+       round({boost} * idfv.v * (fr.freq * {K1 + 1.0}) /
+             (fr.freq + {K1} * ({1.0 - B} + {B} * d.dl / st.avgdl)), 6) AS score
+FROM freqs fr JOIN dl d USING (doc_id) CROSS JOIN idfv CROSS JOIN st
+WHERE fr.freq > 0
+{_topk(k)}"""
+
+
+def numeric_range(column: str, lower: float | None, upper: float | None,
+                  include_lower: bool = True, include_upper: bool = True,
+                  k: int = 10, boost: float = 1.0,
+                  table: str = "documents") -> str:
+    conds = []
+    if lower is not None:
+        conds.append(f"{column} {'>=' if include_lower else '>'} {lower}")
+    if upper is not None:
+        conds.append(f"{column} {'<=' if include_upper else '<'} {upper}")
+    where = " AND ".join(conds) or "true"
+    return f"""SELECT doc_id, {boost}::DOUBLE AS score
+FROM {table} WHERE {where}
+{_topk(k)}"""
+
+
+def boosting_query(match_term: str, context_term: str,
+                   context_boost: float = 0.5, k: int = 10,
+                   table: str = "documents") -> str:
+    """contrib BoostingQuery: BM25 on match_term; docs also containing
+    context_term have their score multiplied by context_boost."""
+    return f"""WITH {base_ctes(table)},
+ctx AS (SELECT DISTINCT doc_id FROM post WHERE term = '{context_term}')
+SELECT p.doc_id AS doc_id,
+       round({_bm25()} * CASE WHEN c.doc_id IS NOT NULL
+                              THEN {context_boost} ELSE 1.0 END, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+LEFT JOIN ctx c ON c.doc_id = p.doc_id
+WHERE p.term = '{match_term}'
+ORDER BY score DESC, p.doc_id LIMIT {k}"""
+
+
+def dedup_by_key(term: str, key_col: str, k: int = 10,
+                 table: str = "documents") -> str:
+    """contrib DuplicateFilter: among term matches keep the lowest doc_id
+    per key value (KM_USE_FIRST_OCCURRENCE)."""
+    return f"""WITH {base_ctes(table)},
+sc AS (
+  SELECT p.doc_id, {_bm25()} AS s
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term = '{term}'
+),
+keyed AS (
+  SELECT sc.doc_id, sc.s,
+         row_number() OVER (PARTITION BY t.{key_col}
+                            ORDER BY sc.doc_id) AS rn
+  FROM sc JOIN {table} t USING (doc_id)
+)
+SELECT doc_id, round(s, 6) AS score FROM keyed WHERE rn = 1
+{_topk(k)}"""
+
+
 def deleted_term(term: str, delete_pred: str, k: int = 10,
                  table: str = "documents") -> str:
     """Term query over an index with tombstoned docs (delete_pred selects

@@ -49,6 +49,23 @@ class Phrase(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhrase(Query):
+    """Phrase with term ALTERNATIVES per position
+    (src/Lucene.Net/Search/MultiPhraseQuery.cs): terms_at[i] is the set of
+    acceptable terms at query position offsets[i]; a doc matches where
+    every position has one of its alternatives at the aligned spot.
+    idf = sum over ALL alternative terms (MultiPhraseWeight ctor)."""
+    terms_at: tuple[tuple[str, ...], ...]
+    field: str = DEFAULT_FIELD
+    offsets: tuple[int, ...] | None = None
+    boost: float = 1.0
+
+    def resolved_offsets(self) -> tuple[int, ...]:
+        return (self.offsets if self.offsets is not None
+                else tuple(range(len(self.terms_at))))
+
+
+@dataclass(frozen=True)
 class Bool(Query):
     must: tuple[Query, ...] = ()
     should: tuple[Query, ...] = ()
@@ -124,6 +141,42 @@ class Filtered(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class NumericRange(Query):
+    """Constant-score numeric range over a stored column. The reference
+    decomposes ranges into trie terms (src/Lucene.Net/Search/
+    NumericRangeQuery.cs, Util/NumericUtils.cs:369-414); on Spark the
+    column already exists, so this lowers to a native BETWEEN predicate
+    (Catalyst pushdown) — SURVEY §2.6."""
+    column: str
+    lower: float | None = None
+    upper: float | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Boosting(Query):
+    """contrib BoostingQuery (src/contrib/Queries/BoostingQuery.cs):
+    score docs by `match`; docs ALSO matching `context` are multiplied by
+    context_boost (<1 demotes them; context itself contributes no score)."""
+    match: Query
+    context: Query
+    context_boost: float = 0.5
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DedupByKey(Query):
+    """contrib DuplicateFilter (src/contrib/Queries/DuplicateFilter.cs):
+    among matching docs, keep one per stored key value (KM_USE_FIRST_
+    OCCURRENCE analogue: the lowest doc_id wins)."""
+    query: Query
+    key_col: str
+    boost: float = 1.0
+
+
 def rewrite(q: Query) -> Query:
     """Reference construction-time rewrites, to fixpoint-in-one-pass."""
     if isinstance(q, Bool):
@@ -142,8 +195,14 @@ def rewrite(q: Query) -> Query:
     if isinstance(q, Phrase) and len(q.terms) == 1 and q.offsets is None:
         # 1-term phrase -> TermQuery (PhraseQuery.cs:283-291)
         return Term(q.terms[0], q.field, q.boost)
+    if isinstance(q, MultiPhrase) and all(len(a) == 1 for a in q.terms_at):
+        # no alternatives anywhere -> plain PhraseQuery
+        return rewrite(Phrase(tuple(a[0] for a in q.terms_at), q.field,
+                              0, q.offsets, q.boost))
     if isinstance(q, DisMax):
         return replace(q, queries=tuple(rewrite(c) for c in q.queries))
-    if isinstance(q, (ConstantScore, Filtered)):
+    if isinstance(q, (ConstantScore, Filtered, DedupByKey)):
         return replace(q, query=rewrite(q.query))
+    if isinstance(q, Boosting):
+        return replace(q, match=rewrite(q.match), context=rewrite(q.context))
     return q

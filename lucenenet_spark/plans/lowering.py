@@ -162,6 +162,14 @@ class Searcher:
             return self._bool_frame(q)
         if isinstance(q, ast.Phrase):
             return self._phrase_frame(q)
+        if isinstance(q, ast.MultiPhrase):
+            return self._multiphrase_frame(q)
+        if isinstance(q, ast.NumericRange):
+            return self._numeric_range_frame(q)
+        if isinstance(q, ast.Boosting):
+            return self._boosting_frame(q)
+        if isinstance(q, ast.DedupByKey):
+            return self._dedup_frame(q)
         if isinstance(q, ast.DisMax):
             return self._dismax_frame(q)
         if isinstance(q, ast.MatchAll):
@@ -349,6 +357,108 @@ class Searcher:
             freq.alias("freq"),
         ).where(F.col("freq") > 0)
         return scored.select("doc_id", "score")
+
+    def _multiphrase_frame(self, q: ast.MultiPhrase) -> DataFrame:
+        """MultiPhraseQuery (src/Lucene.Net/Search/MultiPhraseQuery.cs):
+        per query position, the UNION of the alternatives' position lists
+        stands in for a single term's positions; alignment then proceeds
+        exactly like the exact-phrase intersection. idf sums over every
+        alternative term (MultiPhraseWeight)."""
+        offsets = q.resolved_offsets()
+        pairs = [(q.field, t, int(o))
+                 for alts, o in zip(q.terms_at, offsets) for t in alts]
+        dfm = self._term_df_map([(f, t) for f, t, _ in pairs])
+        # every position needs at least one alternative present in the index
+        for alts, o in zip(q.terms_at, offsets):
+            if all(dfm[(q.field, t)] == 0 for t in alts):
+                return self._empty_frame()
+        idf_sum = sum(_idf(dfm[(f, t)], self.index.n_docs)
+                      for f, t, _ in pairs if dfm[(f, t)] > 0)
+
+        offdf = self.spark.createDataFrame(
+            pairs, "field string, term string, qoff int")
+        p = (
+            self.index.postings
+            .where((F.col("field") == q.field)
+                   & F.col("term").isin(sorted({t for _, t, _ in pairs})))
+            .join(F.broadcast(offdf), ["field", "term"])
+        )
+        # union the alternatives' positions per (doc, qoff) first
+        per_off = (
+            p.groupBy("doc_id", "dl", "qoff")
+            .agg(F.array_sort(F.array_distinct(F.flatten(
+                F.collect_list("positions")))).alias("positions"))
+        )
+        per_doc = (
+            per_off.groupBy("doc_id", "dl")
+            .agg(F.count("*").alias("n_off"),
+                 F.collect_list(F.struct("qoff", "positions")).alias("plists"))
+            .where(F.col("n_off") == len(offsets))
+        )
+        shifted = F.transform(
+            F.sort_array(F.col("plists")),
+            lambda s: F.transform(s["positions"], lambda x: x - s["qoff"]),
+        )
+        inter = F.aggregate(
+            F.slice(shifted, 2, len(offsets) - 1) if len(offsets) > 1
+            else F.array(),
+            F.element_at(shifted, 1),
+            lambda acc, xs: F.array_intersect(acc, xs),
+        )
+        freq = F.size(inter).cast("double")
+        scored = per_doc.select(
+            "doc_id",
+            (F.lit(float(q.boost)) * F.lit(idf_sum)
+             * bm25.tf_norm(freq, F.col("dl"), self.index.avgdl))
+            .alias("score"),
+            freq.alias("freq"),
+        ).where(F.col("freq") > 0)
+        return scored.select("doc_id", "score")
+
+    def _numeric_range_frame(self, q: ast.NumericRange) -> DataFrame:
+        """Native BETWEEN on the stored column (NumericRangeQuery ->
+        Catalyst predicate pushdown; no trie terms needed, SURVEY §2.6).
+        Constant score, like the reference's CONSTANT_SCORE_FILTER mode."""
+        stored = self.index.stored
+        c = F.col(q.column)
+        pred = F.lit(True)
+        if q.lower is not None:
+            pred = pred & (c >= q.lower if q.include_lower else c > q.lower)
+        if q.upper is not None:
+            pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
+        return stored.where(pred).select(
+            F.col(self.index.id_col).alias("doc_id"),
+            F.lit(float(q.boost)).alias("score"))
+
+    def _boosting_frame(self, q: ast.Boosting) -> DataFrame:
+        """contrib BoostingQuery: demote (or promote) docs matching the
+        context query; the context never contributes score of its own."""
+        m = self.score_frame(q.match)
+        ctx = self.match_frame(q.context).select(
+            "doc_id", F.lit(True).alias("_ctx"))
+        joined = m.join(ctx, "doc_id", "left")
+        factor = F.when(F.col("_ctx"), float(q.context_boost)).otherwise(1.0)
+        return joined.select(
+            "doc_id",
+            (F.col("score") * factor * F.lit(float(q.boost))).alias("score"))
+
+    def _dedup_frame(self, q: ast.DedupByKey) -> DataFrame:
+        """contrib DuplicateFilter: one doc per key among the matches —
+        lowest doc_id wins (KM_USE_FIRST_OCCURRENCE)."""
+        from pyspark.sql import Window
+        hits = self.score_frame(q.query)
+        stored = self.index.stored
+        keyed = hits.join(
+            stored.select(F.col(self.index.id_col).alias("doc_id"),
+                          F.col(q.key_col).alias("_key")),
+            "doc_id")
+        w = Window.partitionBy("_key").orderBy(F.col("doc_id").asc())
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id",
+                    (F.col("score") * F.lit(float(q.boost))).alias("score"))
+        )
 
     # ---- multi-term expansion
 

@@ -124,3 +124,56 @@ def test_partitioning_invariance(spark, oracle):
         s = Searcher(build_inverted_index(spark, docs, text_cols="text"))
         got = [(r["doc_id"], r["score"]) for r in s.search(q, 10).collect()]
         assert got == want, f"partitions={parts}"
+
+
+# ---- contrib + numeric operators (MultiPhrase, NumericRange, Boosting,
+# ---- DuplicateFilter) over a corpus with stored key/numeric columns
+
+
+@pytest.fixture(scope="module")
+def engine2(spark):
+    rows = [(i, t, f"src{i % 3}", len(t)) for i, t in enumerate(DOCS)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    idx = build_inverted_index(spark, docs, text_cols="text").cache()
+    return Searcher(idx)
+
+
+@pytest.fixture(scope="module")
+def oracle2():
+    oi = OracleIndex()
+    for i, t in enumerate(DOCS):
+        oi.add(i, {"text": t})
+        oi.docs[i]["source"] = f"src{i % 3}"
+        oi.docs[i]["n_chars"] = len(t)
+    return oi
+
+
+QUERIES2 = [
+    ("multiphrase", ast.MultiPhrase((("b", "x"), ("c", "y")))),
+    ("multiphrase_single", ast.MultiPhrase((("b",), ("c",)))),
+    ("multiphrase_hole", ast.MultiPhrase(
+        (("words",), ("world", "wide")), offsets=(0, 3))),
+    ("numeric_range", ast.NumericRange("n_chars", 5, 12)),
+    ("numeric_range_excl", ast.NumericRange(
+        "n_chars", 5, 12, include_lower=False, include_upper=False)),
+    ("numeric_open_upper", ast.NumericRange("n_chars", lower=15)),
+    ("boosting_demote", ast.Boosting(ast.Term("b"), ast.Term("c"), 0.5)),
+    ("boosting_neutral", ast.Boosting(ast.Term("b"), ast.Term("zzz"), 0.5)),
+    ("dedup_by_source", ast.DedupByKey(ast.Term("b"), "source")),
+    ("dedup_in_bool", ast.Bool(must=(
+        ast.DedupByKey(ast.Term("aa"), "source"),))),
+]
+
+
+@pytest.mark.parametrize("name,q", QUERIES2, ids=[n for n, _ in QUERIES2])
+@pytest.mark.parametrize("k", [3, 10])
+def test_contrib_ops_match_oracle(engine2, oracle2, name, q, k):
+    got = [(r["doc_id"], r["score"]) for r in engine2.search(q, k).collect()]
+    want = oracle2.top_k(q, k)
+    assert got == want, f"{name}: {got} != {want}"
+
+
+def test_multiphrase_rewrites_to_phrase():
+    q = ast.rewrite(ast.MultiPhrase((("b",), ("c",), ("d",))))
+    assert isinstance(q, ast.Phrase) and q.terms == ("b", "c", "d")
