@@ -42,21 +42,22 @@ def _vocab(n: int = 2000) -> list[str]:
     return v
 
 
-def gen_corpus_rows(n_rows: int, seed: int = 42) -> list[tuple]:
-    """(repo, path, commit, lang, content) rows, deterministic.
+_CHUNK = 4096  # rows per deterministic generation chunk
 
-    Vectorized (numpy) generator: Zipf-sampled words drawn in ONE choice()
-    call for the whole corpus, number/punctuation sprinkles applied by
-    positional masks — the driver-side generator must not become the
-    serial bottleneck of a scaling measurement."""
+
+def _gen_chunk(start: int, count: int, seed: int) -> list[tuple]:
+    """Rows [start, start+count) — deterministic per (seed, start) so the
+    corpus can be generated IN PARALLEL on executors: chunk k's RNG stream
+    is independent of every other chunk, and a row's identity fields
+    (repo/path/commit/lang) derive from its absolute index."""
     import numpy as np
 
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng([seed, start])
     vocab = np.asarray(_vocab(), dtype=object)
     w = 1.0 / np.arange(1.0, len(vocab) + 1.0)
     w /= w.sum()
 
-    n_tok = rng.integers(20, 401, size=n_rows)
+    n_tok = rng.integers(20, 401, size=count)
     bounds = np.concatenate([[0], np.cumsum(n_tok)])
     total = int(bounds[-1])
     words = vocab[rng.choice(len(vocab), size=total, p=w)]
@@ -70,13 +71,24 @@ def gen_corpus_rows(n_rows: int, seed: int = 42) -> list[tuple]:
     words[punct_mask] = words[punct_mask] + " " + puncts
 
     rows = []
-    for i in range(n_rows):
+    for j in range(count):
+        i = start + j
         lang = _LANGS[i % len(_LANGS)]
         repo = f"org{i % 7}/repo{i % 23}"
         path = f"src/mod{i % 11}/file{i}.{_EXT[lang]}"
         commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
-        content = " ".join(words[bounds[i]:bounds[i + 1]].tolist())
+        content = " ".join(words[bounds[j]:bounds[j + 1]].tolist())
         rows.append((repo, path, commit, lang, content))
+    return rows
+
+
+def gen_corpus_rows(n_rows: int, seed: int = 42) -> list[tuple]:
+    """(repo, path, commit, lang, content) rows, deterministic — the
+    driver-side (test) path; corpus_df generates the same bytes
+    chunk-parallel on executors."""
+    rows: list[tuple] = []
+    for s in range(0, n_rows, _CHUNK):
+        rows.extend(_gen_chunk(s, min(_CHUNK, n_rows - s), seed))
     return rows
 
 
@@ -85,10 +97,27 @@ CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content s
 
 def corpus_df(spark: SparkSession, n_rows: int, seed: int = 42,
               partitions: int | None = None) -> DataFrame:
-    df = spark.createDataFrame(gen_corpus_rows(n_rows, seed), CORPUS_SCHEMA)
-    if partitions:
-        df = df.repartition(partitions)
-    return df
+    """Distributed deterministic corpus: a tiny driver-side chunk manifest
+    (start, count) fans out to executors, each generating its chunks
+    independently — the corpus materializes cluster-parallel like an
+    Iceberg table scan would, never bottlenecking on the driver."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    manifest = [(s, min(_CHUNK, n_rows - s))
+                for s in range(0, n_rows, _CHUNK)]
+    mdf = spark.createDataFrame(manifest, "start long, cnt long") \
+        .repartition(parts)
+
+    def gen(batches):
+        cols = ["repo", "path", "commit", "lang", "content"]
+        for pdf in batches:
+            out: list[tuple] = []
+            for s, c in zip(pdf["start"], pdf["cnt"]):
+                out.extend(_gen_chunk(int(s), int(c), seed))
+            yield pd.DataFrame(out, columns=cols)
+
+    return mdf.mapInPandas(gen, CORPUS_SCHEMA)
 
 
 def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path"),

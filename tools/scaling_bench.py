@@ -28,7 +28,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_FILES = 200000
+DEFAULT_FILES = 500000  # big enough that per-build fixed costs (driver
+                        # scheduling, stats agg, final cache) amortize the
+                        # way they would on a real 100 TB build
 QUERY_REPS = 5
 
 
@@ -100,9 +102,14 @@ def single_run(cpus: int, n_files: int) -> None:
 def driver(n_files: int) -> None:
     results = {}
     for cpus in (2, 8, 32):
+        # taskset pins the WHOLE process tree (JVM GC/JIT threads, Python
+        # workers) to exactly `cpus` cores — local[N] alone only limits
+        # task slots, letting helper threads borrow idle silicon and
+        # flatter the small-N baseline.
+        pin = ["taskset", "-c", f"0-{cpus - 1}"]
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run",
-             "--cpus", str(cpus), "--files", str(n_files)],
+            pin + [sys.executable, os.path.abspath(__file__), "--run",
+                   "--cpus", str(cpus), "--files", str(n_files)],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
