@@ -24,7 +24,7 @@ from lucenenet_spark.functions import textstats as ts
 from lucenenet_spark.index.builder import build_inverted_index
 from lucenenet_spark.index.segments import build_segmented_index
 from lucenenet_spark.index.wand import wand_topk
-from lucenenet_spark.operators import ann, dedup
+from lucenenet_spark.operators import ann, dedup, multimodal
 from lucenenet_spark.oracle import sqlgen
 from lucenenet_spark.plans import ast
 from lucenenet_spark.plans.lowering import Searcher
@@ -122,8 +122,12 @@ def _dd_jaccard(spark, sf_dir):
 
 
 def _dd_minhash(spark, sf_dir):
+    # bands=2 x rows=8: S-curve knee ~0.92 — the testdata corpus is
+    # template-heavy (avg pairwise token-set Jaccard ~0.65), so lower
+    # thresholds make the TRUE answer Theta(n^2) pairs regardless of
+    # algorithm; 0.9 keeps the near-dup set sparse and meaningful.
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=16, bands=4, threshold=0.5
+        _docs(spark, sf_dir), num_hashes=16, bands=2, threshold=0.9
     )
 
 
@@ -164,7 +168,7 @@ def _txt_stats(spark, sf_dir):
 
 def _mm_meta(spark, sf_dir):
     """Multimodal plumbing: treat the payload as opaque binary; surface
-    byte length + sha256 (decode itself is stubbed — see streaming/mm)."""
+    byte length + sha256 (decode itself is stubbed — operators/multimodal)."""
     d = _docs(spark, sf_dir)
     bin_col = F.encode(F.col("text"), "UTF-8")
     return d.select(
@@ -172,6 +176,28 @@ def _mm_meta(spark, sf_dir):
         F.octet_length(bin_col).cast("long").alias("byte_len"),
         F.sha2(bin_col, 256).alias("payload_sha"),
     )
+
+
+def _mm_payloads(spark, sf_dir):
+    return multimodal.synthesize_payloads(_docs(spark, sf_dir))
+
+
+def _mm_decode(spark, sf_dir):
+    """Arrow-batched decode stage (stubbed codec, real plumbing).
+    Non-applicable fields (width of an audio clip) coalesce to -1 here so
+    the driver's order-insensitive row compare never sorts NULLs."""
+    m = multimodal.decode_meta(_mm_payloads(spark, sf_dir))
+    fill = [F.coalesce(F.col(c), F.lit(-1)).alias(c)
+            for c in ("width", "height", "duration_ms", "sample_rate")]
+    return m.select("id", "modality", "byte_len", "payload_sha", *fill)
+
+
+def _mm_img_feat(spark, sf_dir):
+    return multimodal.image_features(_mm_payloads(spark, sf_dir), dim=16)
+
+
+def _mm_frames(spark, sf_dir):
+    return multimodal.frame_sample(_mm_payloads(spark, sf_dir))
 
 
 def _parsed(text: str, k: int = K):
@@ -284,6 +310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh,  # approximate: rows-only check
         "txt_stats": _txt_stats,
         "mm_meta": _mm_meta,
+        "mm_decode": _mm_decode,
+        "mm_img_feat": _mm_img_feat,
+        "mm_frames": _mm_frames,
     }
 
 
@@ -351,11 +380,14 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": g.ivf_topk(0, K, nlist=16, nprobe=4),
         "dd_exact": g.exact_dups(),
         "dd_ngram_jaccard": g.ngram_jaccard_pairs(3, 0.5),
-        "dd_minhash_lsh": g.minhash_lsh_pairs(16, 4, 0.5),
+        "dd_minhash_lsh": g.minhash_lsh_pairs(16, 2, 0.9),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "ann_cosine_topk": g.cosine_topk(0, K),
         "txt_stats": g.textstats(),
         "mm_meta": g.mm_meta(),
+        "mm_decode": g.mm_decode_meta(),
+        "mm_img_feat": g.mm_image_features(16),
+        "mm_frames": g.mm_frame_sample(),
         # ann_lsh_topk intentionally omitted: approximate operator
     }

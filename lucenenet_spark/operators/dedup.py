@@ -152,13 +152,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
-                      bands: int = 4, threshold: float = 0.5) -> DataFrame:
+                      bands: int = 2, threshold: float = 0.9,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """MinHash + LSH banding: candidates = pairs sharing >=1 band bucket,
     then verified with EXACT token-set Jaccard >= threshold.
 
+    Defaults target HIGH thresholds (bands=2 x rows=8 -> LSH S-curve knee
+    ~0.92): near-dup detection over templated corpora collapses to "most
+    pairs match" at low thresholds, where any correct operator's OUTPUT is
+    Theta(n^2) — no algorithm fixes that; pick the threshold that makes
+    the answer sparse.
+
     Scale path: the only shuffles are (band_key) and the pair groupBy; a
-    band bucket with B docs emits O(B^2) pairs — at 100TB add a bucket-size
-    cutoff just like max_shingle_df."""
+    band bucket with B docs emits O(B^2) pairs, so max_bucket_size skips
+    degenerate buckets (the stop-shingle analogue — a bucket holding a
+    measurable fraction of the corpus carries no near-dup signal at 100TB;
+    cut pairs are recorded nowhere, which trades recall for survival
+    exactly like max_shingle_df)."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
     banded = sigs.select(
@@ -172,6 +182,14 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("band", "bkey"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count("*").alias("bsz"))
+            .where(F.col("bsz") > max_bucket_size)
+            .select("band", "bkey")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
     a = banded.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "bkey", F.col("doc_id").alias("doc_b"))
     cand = (

@@ -597,3 +597,53 @@ def mm_meta(table: str = "documents") -> str:
     return f"""SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
        sha256(text) AS payload_sha
 FROM {table}"""
+
+
+_MM_MOD = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+
+def _mm_h32(salt: str) -> str:
+    """('0x'||substr(md5(salt||text),1,8))::BIGINT — the deterministic fake
+    decoder's randomness source (operators/multimodal._h32; the payload is
+    the UTF-8 bytes of text, so VARCHAR md5 sees identical bytes)."""
+    return f"('0x'||substr(md5('{salt}'||text),1,8))::BIGINT"
+
+
+def mm_decode_meta(table: str = "documents") -> str:
+    """decode_meta fake-decoder parity: typed metadata per modality."""
+    return f"""SELECT doc_id AS id, {_MM_MOD} AS modality,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       sha256(text) AS payload_sha,
+       CASE WHEN {_MM_MOD} <> 'audio'
+            THEN (64 + {_mm_h32('w')} % 4032)::INT ELSE -1 END AS width,
+       CASE WHEN {_MM_MOD} <> 'audio'
+            THEN (64 + {_mm_h32('h')} % 2096)::INT ELSE -1 END AS height,
+       CASE WHEN {_MM_MOD} IN ('audio','video')
+            THEN 1000 + {_mm_h32('d')} % 600000 ELSE -1 END AS duration_ms,
+       CASE WHEN {_MM_MOD} = 'audio'
+            THEN (8000 + ({_mm_h32('r')} % 5) * 8000)::INT
+            ELSE -1 END AS sample_rate
+FROM {table}"""
+
+
+def mm_image_features(dim: int = 16, table: str = "documents") -> str:
+    """image_features fake-embedding parity: dim doubles from md5 chunks."""
+    return f"""SELECT doc_id AS id,
+       [(('0x'||substr(md5('f'||i||text),1,8))::BIGINT % 1000000) / 1000000.0
+        FOR i IN range({dim})] AS feat
+FROM {table} WHERE doc_id % 3 = 0"""
+
+
+def mm_frame_sample(every_ms: int = 10000, max_frames: int = 16,
+                    table: str = "documents") -> str:
+    """frame_sample parity: one row per sampled fake frame of each video."""
+    return f"""WITH v AS (
+  SELECT doc_id AS id, text,
+         1000 + {_mm_h32('d')} % 600000 AS dur
+  FROM {table} WHERE doc_id % 3 = 2
+),
+n AS (SELECT id, text, least(greatest(dur // {every_ms}, 1), {max_frames}) AS nf
+      FROM v),
+fr AS (SELECT id, text, unnest(range(nf)) AS i FROM n)
+SELECT id, i::INT AS frame_idx, sha256(text || i::VARCHAR) AS frame_sha
+FROM fr"""

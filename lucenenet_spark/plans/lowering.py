@@ -131,7 +131,82 @@ class Searcher:
             .limit(k)
         )
 
-    def facet_counts(self, q: ast.Query, facet_col: str) -> DataFrame:
+    def explain(self, q: ast.Query, doc_id: int) -> dict:
+        """Explanation tree for one (query, doc) — the reference's
+        Weight.Explain (src/Lucene.Net/Search/TermQuery.cs Explain,
+        CheckHits.CheckExplanations tolerance discipline): a nested
+        {value, description, details} whose root value equals the doc's
+        search score (rounded to SCORE_DECIMALS)."""
+        q = ast.rewrite(q)
+        node = self._explain(q, doc_id)
+        node["value"] = round(node["value"], bm25.SCORE_DECIMALS)
+        return node
+
+    def _explain(self, q: ast.Query, doc_id: int) -> dict:
+        import math as _m
+
+        def leaf(value, desc, details=()):
+            return {"value": float(value), "description": desc,
+                    "details": list(details)}
+
+        if isinstance(q, ast.Term):
+            row = (
+                self._postings_nopos
+                .where((F.col("field") == q.field)
+                       & (F.col("term") == q.term)
+                       & (F.col("doc_id") == doc_id))
+                .collect()
+            )
+            if not row:
+                return leaf(0.0, f"no match on term {q.field}:{q.term}")
+            tf, dl = int(row[0]["tf"]), int(row[0]["dl"])
+            df = self._term_df_map([(q.field, q.term)])[(q.field, q.term)]
+            n, avgdl = self.index.n_docs, self.index.avgdl
+            idf = _m.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tfn = tf * (bm25.K1 + 1.0) / (
+                tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl))
+            return leaf(
+                q.boost * idf * tfn,
+                f"weight({q.field}:{q.term} in {doc_id}) [BM25]",
+                [leaf(q.boost, "boost"),
+                 leaf(idf, f"idf(df={df}, N={n})"),
+                 leaf(tfn, f"tfNorm(tf={tf}, dl={dl}, avgdl={avgdl:.3f})")])
+        if isinstance(q, ast.Bool):
+            details, total = [], 0.0
+            for c in q.must + q.should:
+                e = self._explain(c, doc_id)
+                details.append(e)
+                total += e["value"]
+            for c in q.must:
+                if self._explain(c, doc_id)["value"] == 0.0:
+                    return leaf(0.0, "failure to match required clause",
+                                details)
+            matched_should = sum(
+                1 for c in q.should
+                if self._explain(c, doc_id)["value"] > 0.0)
+            msm = q.min_should_match
+            if q.should and not q.must and msm < 1:
+                msm = 1
+            if matched_should < msm:
+                return leaf(0.0, f"minShouldMatch {msm} not met", details)
+            for c in q.must_not:
+                if self._explain(c, doc_id)["value"] != 0.0:
+                    return leaf(0.0, "match on prohibited clause", details)
+            return leaf(total * q.boost, "sum of clauses", details)
+        if isinstance(q, ast.DisMax):
+            subs = [self._explain(c, doc_id) for c in q.queries]
+            vals = [e["value"] for e in subs if e["value"] > 0.0]
+            if not vals:
+                return leaf(0.0, "no matching clause", subs)
+            v = (max(vals) + q.tie * (sum(vals) - max(vals))) * q.boost
+            return leaf(v, f"max plus {q.tie} times others", subs)
+        if isinstance(q, ast.MatchAll):
+            return leaf(q.boost, "MatchAllDocsQuery")
+        # generic fallback: pull the doc's score from the lowered frame
+        row = (
+            self.score_frame(q).where(F.col("doc_id") == doc_id).collect())
+        v = float(row[0]["score"]) if row else 0.0
+        return leaf(v, f"{type(q).__name__} (score via plan)")
         """SimpleFacetedSearch analogue: facet counts over matching docs
         (src/contrib/SimpleFacetedSearch/SimpleFacetedSearch.cs)."""
         hits = self._live(self.score_frame(ast.rewrite(q))).select("doc_id")
@@ -201,14 +276,21 @@ class Searcher:
         return self.index.term_dfs(pairs)
 
     def _term_frame(self, q: ast.Term) -> DataFrame:
-        df = self._term_df_map([(q.field, q.term)])[(q.field, q.term)]
-        if df == 0:
-            return self._empty_frame()
+        """TermScorer: postings filter + global df folded in-plan via a
+        broadcast join on the term dictionary — NO driver round-trip per
+        clause (a collected-df design costs one Spark job per query term;
+        the broadcast subquery rides inside the search job). An absent
+        term joins to nothing, which IS the empty result."""
+        stats = (
+            self.index.term_stats()
+            .where((F.col("field") == q.field) & (F.col("term") == q.term))
+            .select("field", "term", "df")
+        )
         p = self._postings_nopos.where(
             (F.col("field") == q.field) & (F.col("term") == q.term)
-        )
+        ).join(F.broadcast(stats), ["field", "term"])
         score = bm25.term_score(
-            F.col("tf"), F.col("dl"), F.lit(df),
+            F.col("tf"), F.col("dl"), F.col("df"),
             self.index.n_docs, self.index.avgdl, q.boost,
         )
         return p.select(F.col("doc_id"), score.alias("score"))

@@ -177,3 +177,31 @@ def test_contrib_ops_match_oracle(engine2, oracle2, name, q, k):
 def test_multiphrase_rewrites_to_phrase():
     q = ast.rewrite(ast.MultiPhrase((("b",), ("c",), ("d",))))
     assert isinstance(q, ast.Phrase) and q.terms == ("b", "c", "d")
+
+
+# ---- Explanation tree (CheckHits.CheckExplanations analogue)
+
+
+EXPLAIN_QUERIES = [
+    ast.Term("aa"),
+    ast.Bool(must=(ast.Term("aa"), ast.Term("b"))),
+    ast.Bool(should=(ast.Term("aa", boost=2.0), ast.Term("c")),
+             must_not=(ast.Term("x"),)),
+    ast.DisMax((ast.Term("aa"), ast.Term("c")), tie=0.1),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(EXPLAIN_QUERIES)))
+def test_explain_matches_score(engine, qi):
+    q = EXPLAIN_QUERIES[qi]
+    hits = engine.search(q, 5).collect()
+    assert hits
+    for r in hits[:3]:
+        e = engine.explain(q, r["doc_id"])
+        assert e["value"] == r["score"], (qi, r["doc_id"], e)
+        assert e["details"] or e["description"]
+
+
+def test_explain_nonmatching_doc(engine):
+    e = engine.explain(ast.Bool(must=(ast.Term("aa"), ast.Term("x"))), 0)
+    assert e["value"] == 0.0
