@@ -135,6 +135,13 @@ def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path")
     """
     from pyspark.sql import functions as F
 
+    if "doc_id" in docs.columns:
+        # the engine owns doc_id assignment; keep the source's id as a
+        # stored field under orig_doc_id (and follow it in order_cols)
+        docs = docs.withColumnRenamed("doc_id", "orig_doc_id")
+        order_cols = tuple("orig_doc_id" if c == "doc_id" else c
+                           for c in order_cols)
+
     np_ = num_partitions or docs.rdd.getNumPartitions()
     key = [F.col(c) for c in order_cols]
     part = docs.repartition(np_, *key).sortWithinPartitions(*order_cols)
