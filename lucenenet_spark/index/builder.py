@@ -223,6 +223,13 @@ def build_inverted_index(
     if isinstance(text_cols, str):
         text_cols = {DEFAULT_FIELD: text_cols}
 
+    # Fan narrow inputs out to the cluster: a source that arrives as a
+    # handful of parquet files (one, at small SF) would otherwise serialize
+    # the whole tokenize stage onto as many cores as it has partitions.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+
     parts = [
         _postings_for_field(docs, id_col, src, fld, lang_col, positions)
         for fld, src in text_cols.items()

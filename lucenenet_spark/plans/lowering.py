@@ -207,6 +207,8 @@ class Searcher:
             self.score_frame(q).where(F.col("doc_id") == doc_id).collect())
         v = float(row[0]["score"]) if row else 0.0
         return leaf(v, f"{type(q).__name__} (score via plan)")
+
+    def facet_counts(self, q: ast.Query, facet_col: str) -> DataFrame:
         """SimpleFacetedSearch analogue: facet counts over matching docs
         (src/contrib/SimpleFacetedSearch/SimpleFacetedSearch.cs)."""
         hits = self._live(self.score_frame(ast.rewrite(q))).select("doc_id")

@@ -295,3 +295,31 @@ def test_bulk_merge_multi_term_groups():
     bb = merged[merged["term"] == "bb"].iloc[0]
     assert bytes(bb["docs_blob"]) == e2["docs_blob"]
     assert int(bb["seg_id"]) == 1
+
+
+def test_merge_shuffle_balanced_under_zipf(spark, corpus):
+    """Skew validation (SURVEY §7 Phase 6): the corpus vocabulary is
+    Zipfian, yet the merge shuffle keys on (field, term, merge_group), so
+    a hot term's sub-lists spread across merge groups and no reducer
+    partition degenerates. Assert the post-shuffle row distribution is
+    within a sane imbalance factor of the mean."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.index.segments import (
+        SEGMENT_SCHEMA, _invert_partition)
+
+    seg = corpus.select("doc_id", "content", "lang").mapInPandas(
+        _invert_partition("content", "doc_id", "content", "lang", True),
+        SEGMENT_SCHEMA)
+    n_parts = 8
+    shuffled = (
+        seg.withColumn("merge_group", (F.col("seg_id") / 2).cast("long"))
+        .repartition(n_parts, "field", "term", "merge_group")
+    )
+    counts = (
+        shuffled.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    )
+    rows = [r["count"] for r in counts]
+    assert len(rows) >= 2
+    mean = sum(rows) / len(rows)
+    assert max(rows) <= 3.0 * mean, (rows, mean)
