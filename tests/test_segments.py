@@ -323,3 +323,33 @@ def test_merge_shuffle_balanced_under_zipf(spark, corpus):
     assert len(rows) >= 2
     mean = sum(rows) / len(rows)
     assert max(rows) <= 3.0 * mean, (rows, mean)
+
+
+def test_merge_wave_fallback_out_of_order_segments(spark, corpus):
+    """Out-of-order segment sets (NRT compaction shape: a later segment
+    holds LOWER doc_ids) must take the decode-merge fallback inside a real
+    merge wave and still answer queries identically to a fresh build."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.index.segments import (
+        build_segmented_index, merge_wave)
+    from lucenenet_spark.plans import ast
+    from lucenenet_spark.plans.lowering import Searcher
+
+    base = build_segmented_index(spark, corpus, text_col="content",
+                                 lang_col="lang", target_segments=4)
+    # scramble seg_ids so ascending seg_id no longer means ascending docs
+    scrambled = base.segments.withColumn(
+        "seg_id", (F.lit(3) - F.col("seg_id")).cast("long"))
+    from dataclasses import replace
+    idx = replace(base, segments=merge_wave(scrambled, fan_in=4).cache(),
+                  _postings=None, _postings_nopos=None, _term_stats=None)
+
+    want = [(r["doc_id"], r["score"]) for r in
+            Searcher(base).search(ast.Term("index", field="content"), 10)
+            .collect()]
+    got = [(r["doc_id"], r["score"]) for r in
+           Searcher(idx).search(ast.Term("index", field="content"), 10)
+           .collect()]
+    assert got == want
+    assert idx.segments.select("seg_id").distinct().count() == 1
