@@ -193,7 +193,11 @@ def _mm_decode(spark, sf_dir):
 
 
 def _mm_img_feat(spark, sf_dir):
-    return multimodal.image_features(_mm_payloads(spark, sf_dir), dim=16)
+    """posexplode'd to (id, i, value) rows: the driver canonicalizer sorts
+    a pandas frame, and list-typed cells are unhashable — scalar rows are
+    the sortable contract shape (oracle mirrors with unnest(range()))."""
+    feats = multimodal.image_features(_mm_payloads(spark, sf_dir), dim=16)
+    return feats.select("id", F.posexplode("feat").alias("i", "value"))
 
 
 def _mm_frames(spark, sf_dir):
@@ -235,10 +239,12 @@ def _ft_mlt(spark, sf_dir):
 
 
 def _ann_ivf(spark, sf_dir):
+    # nlist=256: centroids ride a broadcast-joined DataFrame, never plan
+    # literals, so a realistic list count costs nothing in plan size.
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return ann.ivf_topk(emb, [float(x) for x in qv], k=K, nlist=16,
-                        nprobe=4, exclude_id=0)
+    return ann.ivf_topk(emb, [float(x) for x in qv], k=K, nlist=256,
+                        nprobe=32, exclude_id=0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -307,7 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _dd_simhash,
         "dd_simhash_pairs": _dd_simhash_pairs,
         "ann_cosine_topk": _ann_cosine,
-        "ann_lsh_topk": _ann_lsh,  # approximate: rows-only check
+        "ann_lsh_topk": _ann_lsh,
         "txt_stats": _txt_stats,
         "mm_meta": _mm_meta,
         "mm_decode": _mm_decode,
@@ -377,17 +383,18 @@ def oracle_sql() -> dict[str, str]:
         "ft_seg_term": g.term_query("spark", K),
         "ft_deleted": g.deleted_term("table", "lang = 'de'", K),
         "ft_mlt": g.more_like_this(0, 5, K),
-        "ann_ivf_topk": g.ivf_topk(0, K, nlist=16, nprobe=4),
+        "ann_ivf_topk": g.ivf_topk(0, K, nlist=256, nprobe=32),
         "dd_exact": g.exact_dups(),
         "dd_ngram_jaccard": g.ngram_jaccard_pairs(3, 0.5),
         "dd_minhash_lsh": g.minhash_lsh_pairs(16, 2, 0.9),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "ann_cosine_topk": g.cosine_topk(0, K),
+        # deterministic md5 hyperplanes + left-fold dots => EXACT oracle
+        "ann_lsh_topk": g.rp_lsh_topk(0, K, tables=4, planes=8, dim=64),
         "txt_stats": g.textstats(),
         "mm_meta": g.mm_meta(),
         "mm_decode": g.mm_decode_meta(),
         "mm_img_feat": g.mm_image_features(16),
         "mm_frames": g.mm_frame_sample(),
-        # ann_lsh_topk intentionally omitted: approximate operator
     }

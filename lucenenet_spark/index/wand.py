@@ -113,18 +113,26 @@ def _segment_kernel(term_weights: dict[str, float], avgdl: float, k: int):
         scores = np.full(len(uniq), -np.inf)
         scores[scored_mask] = exact_scores(scored_mask)
 
+        # θ is the kth ROUNDED score (the collector's ordering key); a doc
+        # prunes only when even its UB cannot round into a tie with θ —
+        # raw > θ - half-ulp is required to round >= θ.
+        half_ulp = 0.5 * 10.0 ** -SCORE_DECIMALS
         while True:
-            top = np.sort(scores[scores > -np.inf])[::-1]
+            top = np.sort(np.round(scores[scores > -np.inf],
+                                   SCORE_DECIMALS))[::-1]
             theta = top[k - 1] if len(top) >= k else -np.inf
-            # exactness: any unscored doc whose UB could still beat θ?
-            need = (~scored_mask) & (ub >= theta)
+            need = (~scored_mask) & (ub >= theta - half_ulp)
             if not need.any():
                 break
             scores[need] = exact_scores(need)
             scored_mask |= need
 
+        # Truncate on the ROUNDED score (the collector's ordering key):
+        # a doc whose raw score is epsilon under the kth but rounds equal
+        # must survive in-segment selection to win its doc_id tie-break.
         keep = np.flatnonzero(scores > -np.inf)
-        rk = keep[np.lexsort((uniq[keep], -scores[keep]))][:k]
+        rounded = np.round(scores[keep], SCORE_DECIMALS)
+        rk = keep[np.lexsort((uniq[keep], -rounded))][:k]
         return pd.DataFrame({
             "doc_id": uniq[rk].astype(np.int64),
             "score": scores[rk],
@@ -136,7 +144,12 @@ def _segment_kernel(term_weights: dict[str, float], avgdl: float, k: int):
 def wand_topk(index, term_boosts: list[tuple[str, float]], k: int = 10,
               field: str | None = None) -> DataFrame:
     """Disjunctive (pure-SHOULD) BM25 top-k with block-max pruning over a
-    SegmentedIndex. Rank-identical to Searcher.search(Bool(should=...)).
+    SegmentedIndex. Rank-identical to Searcher.search(Bool(should=...)),
+    including deletes: tombstoned docs are anti-joined out, with each
+    segment over-fetching by the tombstone count so filtering can never
+    starve the global top-k (at real scale the deletes live as per-segment
+    bitmaps applied inside the kernel at decode time — the .del check of
+    SegmentTermDocs — rather than as a global over-fetch).
     """
     field = field or index.fields[0]
     pairs = [(field, t) for t, _ in term_boosts]
@@ -148,14 +161,18 @@ def wand_topk(index, term_boosts: list[tuple[str, float]], k: int = 10,
     }
     if not weights:
         return index.spark.createDataFrame([], _HIT_SCHEMA)
+    tomb = getattr(index, "tombstones", None)
+    k_seg = k if tomb is None else k + tomb.count()
     seg = index.segments.where(
         (F.col("field") == field) & F.col("term").isin(sorted(weights)))
     per_segment = (
         seg.select("seg_id", "term", "docs_blob", "tfs_blob", "dls_blob",
                    "blocks")
         .groupBy("seg_id")
-        .applyInPandas(_segment_kernel(weights, avgdl, k), _HIT_SCHEMA)
+        .applyInPandas(_segment_kernel(weights, avgdl, k_seg), _HIT_SCHEMA)
     )
+    if tomb is not None:
+        per_segment = per_segment.join(tomb, "doc_id", "left_anti")
     return (
         per_segment
         .select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))

@@ -8,18 +8,34 @@
 - cosine_pairs: all pairs above a similarity threshold (embedding near-dup).
   Sandbox uses a block-nested join; at scale swap in the LSH bucketing
   below.
-- rp_lsh_topk: random-hyperplane LSH bucketed ANN — the scale path.
-  Hyperplanes are md5-derived (deterministic, no RNG state to ship);
-  candidates = vectors sharing the query's bucket in >=1 of `tables`
-  hash tables, then exact re-rank.  Recall < 1 by construction; the
-  correctness gate for it is rows-only (documented).
+- rp_bucket_table + rp_lsh_topk: random-hyperplane LSH bucketed ANN — the
+  scale path.  The bucket table is computed in ONE pass (a vectorized
+  Arrow kernel assigns all `tables` bucket ids per row); at 100 TB it is
+  persisted partitioned by bucket so a probe is a partition-pruned read.
+  A probe is a single filtered scan (OR over the per-table bucket
+  equalities) — never `tables` separate scans — followed by an exact
+  cosine re-rank of the candidates.
+- ivf_topk: inverted-file probe.  Centroid assignment is a BROADCAST join
+  against a centroid DataFrame (no centroid vectors ever appear as plan
+  literals — at nlist=64k literal embedding arrays would be a
+  multi-megabyte plan), argmax via a partial-aggregated min(struct).
+
+Determinism: hyperplanes are md5-derived and every dot product is an
+explicit LEFT FOLD in float64 (Spark `aggregate`, numpy per-dimension
+accumulation, DuckDB `list_reduce` all associate identically), so bucket
+signs are bit-identical across the engine, the driver-side query-bucket
+computation, and the DuckDB oracle — which is what lets the "approximate"
+LSH operator have an EXACT correctness oracle.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 ROUND = 6
+RP_SCALE = float(1 << 59)  # md5-60bit -> [-1, 1) hyperplane components
 
 
 def _dot(a, b) -> F.Column:
@@ -68,44 +84,71 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.9,
 
 
 def _hyperplane(table: int, plane: int, dim: int) -> list:
-    """Deterministic pseudo-random hyperplane components in [-1, 1] derived
+    """Deterministic pseudo-random hyperplane components in [-1, 1) derived
     from md5 — reproducible on any engine, no RNG state."""
     import hashlib
 
     comps = []
     for d in range(dim):
         h = int(hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()[:15], 16)
-        comps.append(h / float(1 << 59) - 1.0)
+        comps.append(h / RP_SCALE - 1.0)
     return comps
 
 
-def rp_bucket(vec_col, table: int, planes: int, dim: int) -> F.Column:
-    """Random-projection bucket id: sign bit per hyperplane."""
-    bucket = F.lit(0)
-    for p in range(planes):
-        comps = _hyperplane(table, p, dim)
-        plane = F.array(*[F.lit(c) for c in comps])
-        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+def rp_bucket_table(emb: DataFrame, tables: int = 4, planes: int = 8,
+                    dim: int | None = None, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, embedding, b0..b{tables-1}) in ONE Arrow-vectorized pass.
+
+    The kernel rebuilds the md5 hyperplanes locally (no closure data) and
+    accumulates each dot product dimension-by-dimension in float64 — the
+    same left-fold association as the SQL oracle's `list_reduce` and the
+    driver's `_bucket_of`, so bucket signs are bit-identical everywhere.
+    At 100 TB: persist this table partitioned by (b0) (or bucketBy over
+    all tables) and the probe below becomes a partition-pruned read."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    hp = [[_hyperplane(t, p, dim) for p in range(planes)]
+          for t in range(tables)]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, np.float64) for v in vecs])
+        out = np.zeros((len(m), tables), np.int64)
+        for t in range(tables):
+            for p in range(planes):
+                plane = hp[t][p]
+                acc = np.zeros(len(m))
+                for d in range(dim):        # explicit left fold per dim
+                    acc += m[:, d] * plane[d]
+                out[:, t] |= (acc >= 0).astype(np.int64) << p
+        return pd.Series(list(out.astype(np.int32)))
+
+    b = buckets(F.col(vec_col))
+    return emb.select(
+        F.col(id_col), F.col(vec_col),
+        *[F.element_at(b, t + 1).alias(f"b{t}") for t in range(tables)],
+    )
 
 
 def rp_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 tables: int = 4, planes: int = 8,
-                exclude_id: int | None = None) -> DataFrame:
+                exclude_id: int | None = None,
+                bucket_table: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: candidates share the query's bucket in >=1 hash
-    table; exact cosine re-rank on the candidate set.  At 100TB the
-    bucketed table is precomputed/persisted and the probe is a pruned scan."""
+    table; exact cosine re-rank on the candidate set.  ONE filtered scan of
+    the bucket table (pass a persisted `rp_bucket_table` result to skip
+    recomputation; at 100 TB that read is partition-pruned by bucket)."""
     dim = len(query_vec)
-    import hashlib  # noqa: F401  (used via _hyperplane)
-
-    cand = None
+    bt = bucket_table if bucket_table is not None else rp_bucket_table(
+        emb, tables, planes, dim, id_col, vec_col)
+    pred = F.lit(False)
     for t in range(tables):
-        qb = _bucket_of(query_vec, t, planes)
-        c = emb.where(rp_bucket(F.col(vec_col), t, planes, dim) == F.lit(qb))
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates([id_col])
+        pred = pred | (F.col(f"b{t}") == F.lit(_bucket_of(query_vec, t, planes)))
+    cand = bt.where(pred).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
 
 
@@ -113,7 +156,9 @@ def _bucket_of(vec: list[float], table: int, planes: int) -> int:
     b = 0
     for p in range(planes):
         comps = _hyperplane(table, p, len(vec))
-        dot = sum(float(x) * c for x, c in zip(vec, comps))
+        dot = 0.0
+        for x, c in zip(vec, comps):        # left fold, float64
+            dot = dot + float(x) * c
         if dot >= 0:
             b |= 1 << p
     return b
@@ -121,46 +166,58 @@ def _bucket_of(vec: list[float], table: int, planes: int) -> int:
 
 # ------------------------------------------------------------------- IVF
 
+def ivf_centroids(emb: DataFrame, nlist: int = 16, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Centroid table (cid, cv): the embeddings of the `nlist` lowest
+    vec_ids (deterministic, oracle-reproducible — a k-means refinement
+    would drop in here without changing the probe path)."""
+    return (emb.where(F.col(id_col) < nlist)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")))
+
+
 def ivf_assign(emb: DataFrame, nlist: int = 16, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """Coarse quantization: cell = argmax-cosine centroid; centroids are
-    the embeddings of the `nlist` lowest vec_ids (deterministic, oracle-
-    reproducible — a k-means refinement would drop in here without
-    changing the probe path). Ties broken by lower centroid id; cosines
-    rounded to 6dp first so Spark and the SQL oracle agree bit-for-bit."""
-    cents = sorted(
-        (r[0], [float(x) for x in r[1]])
-        for r in emb.select(id_col, vec_col).where(F.col(id_col) < nlist).collect()
+    """Coarse quantization: cell = argmax-cosine centroid via a BROADCAST
+    join against the centroid table + min(struct) argmin — the per-row
+    x nlist fan-out is collapsed map-side by partial aggregation, so the
+    shuffle ships ONE row per vector regardless of nlist (and the plan
+    carries no literal vectors, so nlist=64k is plan-size-free).  Ties
+    broken by lower centroid id; cosines rounded to 6dp first so Spark
+    and the SQL oracle agree bit-for-bit."""
+    cents = ivf_centroids(emb, nlist, id_col, vec_col)
+    cos = F.round(
+        _dot(F.col(vec_col), F.col("cv"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("cv"))), ROUND)
+    joined = (
+        emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("embedding"))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding",
+                F.struct((-cos).alias("negcos"),
+                         F.col("cid").alias("cid")).alias("sc"))
     )
-    scored = F.array(*[
-        F.struct(
-            (-F.round(_dot(F.col(vec_col), F.array(*[F.lit(c) for c in cv]))
-                      / (_norm(F.col(vec_col))
-                         * F.lit(sum(c * c for c in cv) ** 0.5)), ROUND)
-             ).alias("negcos"),
-            F.lit(int(cid)).alias("cid"),
-        )
-        for cid, cv in cents
-    ])
-    best = F.array_min(scored)["cid"]
-    return emb.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("embedding"),
-                      best.alias("cell"))
+    best = joined.groupBy("vec_id").agg(
+        F.min("sc").alias("m"), F.first("embedding").alias("embedding"))
+    return best.select("vec_id", "embedding", F.col("m.cid").alias("cell"))
 
 
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              nlist: int = 16, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             exclude_id: int | None = None) -> DataFrame:
+             exclude_id: int | None = None,
+             assigned: DataFrame | None = None) -> DataFrame:
     """IVF probe: rank centroids by cosine to the query, exact-scan only
-    the nprobe nearest cells. Deterministic end-to-end, so (unlike rp_lsh)
+    the nprobe nearest cells. Deterministic end-to-end, so (like rp_lsh)
     this has an exact SQL oracle. At 100TB the assignment table is
-    precomputed and partitioned BY cell — a probe prunes to nprobe
-    partitions before any distance math."""
-    assigned = ivf_assign(emb, nlist, id_col, vec_col)
+    precomputed (pass `assigned`) and partitioned BY cell — a probe prunes
+    to nprobe partitions before any distance math.  Probe selection runs
+    on the driver over the (tiny) collected centroid set — nlist rows,
+    not data-scale."""
+    if assigned is None:
+        assigned = ivf_assign(emb, nlist, id_col, vec_col)
     cents = {
-        r["vec_id"]: [float(x) for x in r["embedding"]]
-        for r in emb.select(id_col, vec_col).where(F.col(id_col) < nlist).collect()
+        r["cid"]: [float(x) for x in r["cv"]]
+        for r in ivf_centroids(emb, nlist, id_col, vec_col).collect()
     }
     qn = sum(x * x for x in query_vec) ** 0.5
 

@@ -224,30 +224,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """(doc_id, simhash) — tf-weighted simhash over token md5 bits.
 
     bit b of the fingerprint is 1 iff sum over tokens of
-    tf * (2*bit_b(h(tok)) - 1) > 0.  At 64+ bits, chunk into multiple
-    longs; 32 bits fits the portable 60-bit md5 hash."""
-    tf = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(_tok_array(text_col)).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("h", _hash60(F.col("tok")))
-    )
-    bit = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        F.col("tf"), F.col("h"),
-    ).withColumn(
-        # shiftright with a column shift amount needs the SQL expression form
-        "w", F.expr("tf * ((shiftright(h, b) & 1) * 2 - 1)")
-    )
-    per_bit = bit.groupBy("doc_id", "b").agg(F.sum("w").alias("s"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    tf * (2*bit_b(h(tok)) - 1) > 0.  tf-weighting == summing each token
+    OCCURRENCE once, so the plan needs neither a (doc, tok) pre-aggregate
+    nor a xbits row explode: ONE groupBy(doc_id) with `bits` sum columns
+    (partial map-side combine collapses every partition to one 32-long row
+    per doc before the only shuffle — at 100 TB the shuffle volume is
+    docs x bits longs, independent of token count).  At 64+ bits, chunk
+    into multiple longs; 32 bits fits the portable 60-bit md5 hash."""
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tok_array(text_col)).alias("tok"),
+    ).withColumn("h", _hash60(F.col("tok")))
+    sums = [
+        F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    per_doc = occ.groupBy("doc_id").agg(*sums)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0,
+                         F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",

@@ -355,6 +355,58 @@ WHERE c.vec_id <> {query_id}
 ORDER BY cosine DESC, c.vec_id LIMIT {k}"""
 
 
+def rp_lsh_topk(query_id: int = 0, k: int = 10, tables: int = 4,
+                planes: int = 8, dim: int = 64,
+                table: str = "embeddings") -> str:
+    """Exact oracle for the random-hyperplane LSH probe: the md5-derived
+    hyperplanes (operators/ann._hyperplane) and the LEFT-FOLD float64 dot
+    products are reproduced bit-for-bit (`list_reduce` associates like
+    Spark's `aggregate` and the kernel's per-dimension accumulation), so
+    the candidate set — and therefore the re-ranked top-k — is identical.
+    """
+    scale = "576460752303423488.0"  # 1 << 59
+    fold = (
+        "list_reduce(list_transform(range(1, {n}), i -> "
+        "{vec}[i]::DOUBLE * pl.pv[i]), (a,b) -> a + b)"
+    )
+    e_dot = fold.format(n=dim + 1, vec="e.embedding")
+    q_dot = fold.format(n=dim + 1, vec="q.qv")
+    return f"""WITH q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+pl AS (
+  SELECT tt.t, pp.p,
+         list_transform(range({dim}), d ->
+           ('0x'||substr(md5(tt.t||':'||pp.p||':'||d),1,15))::BIGINT / {scale} - 1.0) AS pv
+  FROM (SELECT unnest(range({tables})) AS t) tt
+  CROSS JOIN (SELECT unnest(range({planes})) AS p) pp
+),
+eb AS (
+  SELECT e.vec_id, pl.t,
+         sum(CASE WHEN {e_dot} >= 0 THEN 1::BIGINT << pl.p ELSE 0 END) AS bucket
+  FROM {table} e CROSS JOIN pl
+  GROUP BY e.vec_id, pl.t
+),
+qb AS (
+  SELECT pl.t,
+         sum(CASE WHEN {q_dot} >= 0 THEN 1::BIGINT << pl.p ELSE 0 END) AS bucket
+  FROM pl CROSS JOIN q
+  GROUP BY pl.t
+),
+cand AS (
+  SELECT DISTINCT e.vec_id FROM eb e JOIN qb ON e.t = qb.t AND e.bucket = qb.bucket
+),
+pairs AS (
+  SELECT c.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM cand c JOIN {table} e USING (vec_id) CROSS JOIN q
+),
+d AS (
+  SELECT vec_id, sum(x*y) AS dot, sqrt(sum(x*x)) AS nx, sqrt(sum(y*y)) AS ny
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, round(dot/(nx*ny), 6) AS cosine FROM d
+WHERE vec_id <> {query_id}
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
 def matchall(k: int, boost: float = 1.0, table: str = "documents",
              id_col: str = "doc_id") -> str:
     return f"""SELECT {id_col} AS doc_id, {boost}::DOUBLE AS score FROM {table}
@@ -627,11 +679,13 @@ FROM {table}"""
 
 
 def mm_image_features(dim: int = 16, table: str = "documents") -> str:
-    """image_features fake-embedding parity: dim doubles from md5 chunks."""
-    return f"""SELECT doc_id AS id,
-       [(('0x'||substr(md5('f'||i||text),1,8))::BIGINT % 1000000) / 1000000.0
-        FOR i IN range({dim})] AS feat
-FROM {table} WHERE doc_id % 3 = 0"""
+    """image_features fake-embedding parity, one row per (id, component)
+    — posexplode'd so the driver canonicalizer can sort the frame (a
+    list-typed cell is unhashable for pandas sort)."""
+    return f"""SELECT doc_id AS id, r.i::INT AS i,
+       (('0x'||substr(md5('f'||r.i||text),1,8))::BIGINT % 1000000) / 1000000.0 AS value
+FROM {table} CROSS JOIN (SELECT unnest(range({dim})) AS i) r
+WHERE doc_id % 3 = 0"""
 
 
 def mm_frame_sample(every_ms: int = 10000, max_frames: int = 16,

@@ -122,12 +122,34 @@ class QueryParser:
     def parse(self, s: str) -> ast.Query:
         self._toks = _lex(s)
         self._i = 0
-        q = self._parse_query()
+        q = self._parse_query(None)
         if self._i != len(self._toks):
             raise ParseError(f"trailing input at token {self._i}")
         if q is None:
             return ast.MatchAll()
         return ast.rewrite(q)
+
+    # ---- field resolution (MultiFieldQueryParser override point)
+
+    def _fields_for(self, scope: str | None) -> list[tuple[str, float]]:
+        """(field, boost) targets for a clause: the explicit `field:` scope
+        when present, else the parser's default.  MultiFieldQueryParser
+        overrides the unqualified case to expand across its field list
+        (src/Lucene.Net/QueryParser/MultiFieldQueryParser.cs)."""
+        return [(scope or self.default_field, 1.0)]
+
+    def _expand(self, scope: str | None, build) -> ast.Query | None:
+        """Build one leaf per target field via `build(field, field_boost)`
+        and OR them together (MultiFieldQueryParser combines the per-field
+        clauses as SHOULD into one BooleanQuery); a single target passes
+        through unwrapped."""
+        parts = [q for f, bf in self._fields_for(scope)
+                 if (q := build(f, bf)) is not None]
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return ast.Bool(should=tuple(parts))
 
     # ---- token helpers
 
@@ -150,8 +172,10 @@ class QueryParser:
 
     # ---- grammar
 
-    def _parse_query(self) -> ast.Query | None:
-        """clause sequence with Lucene conjunction/modifier rules."""
+    def _parse_query(self, scope: str | None) -> ast.Query | None:
+        """clause sequence with Lucene conjunction/modifier rules; `scope`
+        is the enclosing `field:` prefix (Lucene applies it to every clause
+        of a parenthesized group, QueryParser.JJ Clause production)."""
         must: list[ast.Query] = []
         should: list[ast.Query] = []
         must_not: list[ast.Query] = []
@@ -173,7 +197,7 @@ class QueryParser:
             if t.kind in ("plus", "minus", "not"):
                 self._next()
                 mod = "MUST" if t.kind == "plus" else "MUST_NOT"
-            c = self._parse_clause()
+            c = self._parse_clause(scope)
             if pending_conj == "AND":
                 # promote the preceding optional clause (addClause rule)
                 if should:
@@ -196,26 +220,39 @@ class QueryParser:
         return ast.Bool(must=tuple(must), should=tuple(should),
                         must_not=tuple(must_not))
 
-    def _parse_clause(self) -> ast.Query | None:
+    def _parse_clause(self, scope: str | None) -> ast.Query | None:
         t = self._peek()
         if t is None:
             raise ParseError("unexpected end of input")
-        field = self.default_field
-        # field:... prefix
+        # field:... prefix overrides any enclosing group scope
         if (t.kind == "term" and self._i + 1 < len(self._toks)
                 and self._toks[self._i + 1].kind == "colon"):
-            field = _unescape(t.text)
+            scope = _unescape(t.text)
             self._next()
             self._next()
             t = self._peek()
             if t is None:
-                raise ParseError(f"field '{field}:' without a value")
-        return self._parse_primary(field)
+                raise ParseError(f"field '{scope}:' without a value")
+        return self._parse_primary(scope)
 
-    def _parse_primary(self, field: str) -> ast.Query | None:
+    def _term_or_phrase(self, field: str, text: str, boost: float,
+                        slop: int = 0) -> ast.Query | None:
+        toks = self._analyze(field, text)
+        if not toks:
+            return None
+        if len(toks) == 1:
+            return ast.Term(toks[0][0], field, boost)
+        base = toks[0][1]
+        return ast.Phrase(
+            terms=tuple(tm for tm, _ in toks), field=field, slop=slop,
+            offsets=tuple(p - base for _, p in toks), boost=boost)
+
+    def _parse_primary(self, scope: str | None) -> ast.Query | None:
         t = self._next()
         if t.kind == "lparen":
-            inner = self._parse_query()
+            # the group inherits the field scope: title:(foo bar) applies
+            # `title` to every inner clause (QueryParser.cs Clause/Query)
+            inner = self._parse_query(scope)
             if self._peek() is None or self._peek().kind != "rparen":
                 raise ParseError("missing ')'")
             self._next()
@@ -232,15 +269,8 @@ class QueryParser:
                 self._next()
                 slop = int(float(nt.text)) if nt.text else 0
             boost = self._opt_boost()
-            toks = self._analyze(field, text)
-            if not toks:
-                return None
-            if len(toks) == 1:
-                return ast.Term(toks[0][0], field, boost)
-            base = toks[0][1]
-            return ast.Phrase(
-                terms=tuple(tm for tm, _ in toks), field=field, slop=slop,
-                offsets=tuple(p - base for _, p in toks), boost=boost)
+            return self._expand(scope, lambda f, bf: self._term_or_phrase(
+                f, text, boost * bf, slop))
 
         if t.kind in ("lbrack", "lbrace"):
             include_lower = t.kind == "lbrack"
@@ -254,8 +284,8 @@ class QueryParser:
                 raise ParseError("unterminated range")
             include_upper = close.kind == "rbrack"
             boost = self._opt_boost()
-            return ast.TermRange(lo, hi, field, include_lower, include_upper,
-                                 boost)
+            return self._expand(scope, lambda f, bf: ast.TermRange(
+                lo, hi, f, include_lower, include_upper, boost * bf))
 
         if t.kind == "term":
             raw = t.text
@@ -264,25 +294,21 @@ class QueryParser:
                 self._next()
                 min_sim = float(nt.text) if nt.text else 0.5
                 boost = self._opt_boost()
-                return ast.Fuzzy(_unescape(raw).lower(), field,
-                                 min_similarity=min_sim, boost=boost)
+                return self._expand(scope, lambda f, bf: ast.Fuzzy(
+                    _unescape(raw).lower(), f, min_similarity=min_sim,
+                    boost=boost * bf))
             boost = self._opt_boost()
             has_wild = re.search(r"(?<!\\)[*?]", raw) is not None
             if has_wild:
                 pat = _unescape_keep_wild(raw).lower()
                 if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
-                    return ast.Prefix(pat[:-1], field, boost)
-                return ast.Wildcard(pat, field, boost)
+                    return self._expand(scope, lambda f, bf: ast.Prefix(
+                        pat[:-1], f, boost * bf))
+                return self._expand(scope, lambda f, bf: ast.Wildcard(
+                    pat, f, boost * bf))
             text = _unescape(raw)
-            toks = self._analyze(field, text)
-            if not toks:
-                return None
-            if len(toks) == 1:
-                return ast.Term(toks[0][0], field, boost)
-            base = toks[0][1]
-            return ast.Phrase(
-                terms=tuple(tm for tm, _ in toks), field=field,
-                offsets=tuple(p - base for _, p in toks), boost=boost)
+            return self._expand(scope, lambda f, bf: self._term_or_phrase(
+                f, text, boost * bf))
 
         raise ParseError(f"unexpected token {t.kind}")
 
@@ -300,6 +326,32 @@ class QueryParser:
             return [(text, 0)]
         an = self.analyzers.get(field, tokenize_standard)
         return an(text)
+
+
+class MultiFieldQueryParser(QueryParser):
+    """MultiFieldQueryParser (src/Lucene.Net/QueryParser/
+    MultiFieldQueryParser.cs): clauses WITHOUT an explicit `field:` prefix
+    expand across the configured field list with optional per-field boosts,
+    combined as SHOULD clauses of one BooleanQuery (the parameterless-
+    boosts GetFieldQuery loop); explicitly-qualified clauses behave exactly
+    like the single-field parser.
+    """
+
+    def __init__(self, fields: list[str] | dict[str, float],
+                 analyzers: dict | None = None,
+                 keyword_fields: set[str] | frozenset[str] = frozenset()):
+        boosts = (fields if isinstance(fields, dict)
+                  else {f: 1.0 for f in fields})
+        if not boosts:
+            raise ValueError("MultiFieldQueryParser needs at least one field")
+        first = next(iter(boosts))
+        super().__init__(first, analyzers, keyword_fields)
+        self.field_boosts = dict(boosts)
+
+    def _fields_for(self, scope: str | None) -> list[tuple[str, float]]:
+        if scope is not None:
+            return [(scope, 1.0)]
+        return list(self.field_boosts.items())
 
 
 def _unescape_keep_wild(s: str) -> str:

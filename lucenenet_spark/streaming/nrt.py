@@ -92,14 +92,44 @@ def start_indexing_stream(stream_df: DataFrame, index_dir: str,
     return writer.start()
 
 
+def _live_batch_dirs(index_dir: str) -> dict[str, str]:
+    """name -> path of the batch dirs a reader should load: completed
+    writes only (_SUCCESS), minus any dir superseded by a committed
+    compaction (_COMPACT_MANIFEST.json in the superseding dir). This is
+    the segments_N generation rule: a compaction becomes visible atomically
+    with its manifest (the dir is renamed into place manifest-and-all),
+    and the dirs it replaced stay on disk until cleanup — a crash anywhere
+    leaves either the old generation or the new one, never neither."""
+    segroot = os.path.join(index_dir, "segments")
+    dirs = {
+        os.path.basename(d): d
+        for d in glob.glob(os.path.join(segroot, "batch_*"))
+        if os.path.exists(os.path.join(d, "_SUCCESS"))
+    }
+    superseded: set[str] = set()
+    for name, d in dirs.items():
+        man = os.path.join(d, "_COMPACT_MANIFEST.json")
+        if os.path.exists(man):
+            with open(man) as f:
+                superseded.update(json.load(f)["superseded"])
+    return {n: d for n, d in dirs.items() if n not in superseded}
+
+
 def load_nrt_index(spark: SparkSession, index_dir: str,
                    stored: DataFrame | None = None) -> SegmentedIndex:
-    """NRT reader: every committed batch's segments + summed stats."""
-    seg = spark.read.parquet(os.path.join(index_dir, "segments", "batch_*"))
+    """NRT reader: every live batch's segments + their summed stats
+    (stats files of superseded or incomplete batches are ignored)."""
+    live = _live_batch_dirs(index_dir)
+    if not live:
+        raise FileNotFoundError(f"no committed batches under {index_dir}")
+    seg = spark.read.parquet(*[live[n] for n in sorted(live)])
     n_docs = total = 0
     field = "content"
     id_col = "doc_id"
-    for p in sorted(glob.glob(os.path.join(index_dir, "stats", "batch_*.json"))):
+    for name in sorted(live):
+        p = os.path.join(index_dir, "stats", f"{name}.json")
+        if not os.path.exists(p):
+            continue  # batch committed mid-crash; the stream re-delivers it
         with open(p) as f:
             d = json.load(f)
         n_docs += d["n_docs"]
@@ -115,8 +145,15 @@ def load_nrt_index(spark: SparkSession, index_dir: str,
 
 def compact(spark: SparkSession, index_dir: str, fan_in: int = 10,
             target_segments: int = 1) -> None:
-    """Background-merge analogue: merge all accumulated batch segments
-    into few, rewrite atomically (write new dir, then swap)."""
+    """Background-merge analogue: merge all accumulated batch segments into
+    a NEW generation dir, publish it with one atomic rename (manifest
+    inside names the superseded batches), delete the old dirs LAST — the
+    two-phase segments_N commit (IndexWriter.PrepareCommit/StartCommit,
+    src/Lucene.Net/Index/IndexWriter.cs:3988/5527): a crash at any point
+    leaves a readable index."""
+    import shutil
+
+    live = _live_batch_dirs(index_dir)
     idx = load_nrt_index(spark, index_dir)
     # renumber sparse batch-offset seg_ids densely (segment count is tiny,
     # so the single-partition window is driver-scale work, not data-scale)
@@ -130,11 +167,24 @@ def compact(spark: SparkSession, index_dir: str, fan_in: int = 10,
             fan = (n + target_segments - 1) // target_segments
         seg = merge_wave(seg, fan)
         n = (n + fan - 1) // fan
-    tmp = os.path.join(index_dir, "segments_compacted")
+
+    gen = max(int(name.split("_")[1]) for name in live) + 1
+    gen_name = f"batch_{gen:08d}"
+    tmp = os.path.join(index_dir, f"_compact_tmp_{gen:08d}")
     seg.write.mode("overwrite").parquet(tmp)
-    # swap: replace batch dirs with the single compacted dir
-    import shutil
-    segroot = os.path.join(index_dir, "segments")
-    for d in glob.glob(os.path.join(segroot, "batch_*")):
-        shutil.rmtree(d)
-    os.rename(tmp, os.path.join(segroot, "batch_00000000"))
+    with open(os.path.join(tmp, "_COMPACT_MANIFEST.json"), "w") as f:
+        json.dump({"superseded": sorted(live)}, f)
+    # stats for the new generation BEFORE publication: a stray stats file
+    # for a not-yet-live batch is ignored by the loader
+    with open(os.path.join(index_dir, "stats", f"{gen_name}.json"), "w") as f:
+        json.dump({"batch_id": gen, "n_docs": idx.stats.n_docs,
+                   "total_tokens": idx.stats.total_tokens,
+                   "field": idx.fields[0], "id_col": idx.id_col}, f)
+    # atomic publication: manifest travels with the dir
+    os.rename(tmp, os.path.join(index_dir, "segments", gen_name))
+    # cleanup last — a crash here leaves garbage, never a wrong answer
+    for name in sorted(live):
+        p = os.path.join(index_dir, "stats", f"{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+        shutil.rmtree(live[name], ignore_errors=True)

@@ -60,9 +60,9 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def test_all_queries_have_oracle_or_reason():
-    missing = set(QUERIES) - set(ORACLES)
-    # approximate operators are the only rows-only entries allowed
-    assert missing <= {"ann_lsh_topk"}, missing
+    # every contract entry has an exact oracle (the LSH/IVF "approximate"
+    # operators are deterministic, so they do too)
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_entry_smoke(spark):

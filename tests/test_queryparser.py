@@ -106,10 +106,33 @@ def test_grouping_with_boost():
 
 
 def test_escaped_special():
-    assert parse(r"foo\:bar") == t("foo", boost=1.0) if False else True
-    # escaped colon keeps it one term (analyzer then splits alnum runs)
+    # escaped colon: NOT a field prefix; the analyzer then splits the
+    # unescaped text on the non-alnum colon -> a 2-term phrase
+    assert parse(r"foo\:bar") == ast.Phrase(("foo", "bar"), offsets=(0, 1))
     q = parse(r"spark\*")  # escaped star -> literal, analyzed as plain term
     assert q == t("spark")
+
+
+def test_field_scoped_group():
+    # Lucene applies the field to every clause of the group
+    q = parse("title:(foo bar)")
+    assert q == ast.Bool(should=(t("foo", field="title"),
+                                 t("bar", field="title")))
+    # explicit prefix inside a group overrides the group scope
+    q2 = parse("title:(foo body:bar)")
+    assert q2 == ast.Bool(should=(t("foo", field="title"),
+                                  t("bar", field="body")))
+
+
+def test_multifield_parser_expansion():
+    from lucenenet_spark.queryparser.parser import MultiFieldQueryParser
+    mp = MultiFieldQueryParser({"text": 1.0, "source": 2.0},
+                               keyword_fields={"source"})
+    q = mp.parse("spark")
+    assert q == ast.Bool(should=(t("spark"),
+                                 t("spark", field="source", boost=2.0)))
+    # explicit field suppresses the expansion
+    assert mp.parse("text:spark") == t("spark")
 
 
 def test_keyword_field_not_analyzed():

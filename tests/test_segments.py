@@ -353,3 +353,32 @@ def test_merge_wave_fallback_out_of_order_segments(spark, corpus):
            .collect()]
     assert got == want
     assert idx.segments.select("seg_id").distinct().count() == 1
+
+
+def test_wand_applies_tombstones(spark, corpus):
+    """wand_topk honors with_deletes: rank-identical to the exact scorer
+    over the live set (the ADVICE.md deleted-docs gap)."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.index.segments import build_segmented_index
+    from lucenenet_spark.index.wand import wand_topk
+    from lucenenet_spark.plans import ast
+    from lucenenet_spark.plans.lowering import Searcher
+
+    base = build_segmented_index(spark, corpus, text_col="content",
+                                 lang_col="lang")
+    terms = [("index", 1.0), ("merge", 1.0), ("segment", 1.0)]
+    top = [r["doc_id"] for r in
+           wand_topk(base, terms, k=5, field="content").collect()]
+    assert top, "need non-empty baseline hits"
+    dead = spark.createDataFrame([(int(d),) for d in top[:3]], "doc_id long")
+    idx = base.with_deletes(dead)
+
+    got = [tuple(r) for r in
+           wand_topk(idx, terms, k=10, field="content").collect()]
+    want = [tuple(r) for r in
+            Searcher(idx).search(
+                ast.Bool(should=tuple(ast.Term(t, field="content")
+                                      for t, _ in terms)), 10).collect()]
+    assert got == want
+    assert not set(top[:3]) & {d for d, _ in got}

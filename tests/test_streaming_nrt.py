@@ -75,3 +75,59 @@ def test_stream_matches_batch(spark, corpus_waves, tmp_path):
         a = [tuple(r) for r in Searcher(idx2).search(qq, 10).collect()]
         b = [tuple(r) for r in s_batch.search(qq, 10).collect()]
         assert a == b, qq
+
+
+def test_compact_crash_window_is_readable(spark, corpus_waves, tmp_path):
+    """Simulate a crash BETWEEN compaction publication and cleanup: the
+    new generation dir (manifest included) coexists with the superseded
+    batch dirs + their stats files. The loader must see exactly one
+    generation — no duplicate docs, same stats (the ADVICE.md atomic-swap
+    gap)."""
+    import glob
+    import shutil
+
+    from lucenenet_spark.streaming import nrt
+
+    docs, src = corpus_waves
+    index_dir = str(tmp_path / "nrt_index")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(os.path.join(src, "wave_*"))
+    )
+    nrt.start_indexing_stream(
+        stream, index_dir, ckpt, text_col="content",
+        lang_col="lang").awaitTermination(120)
+
+    before = nrt.load_nrt_index(spark, index_dir, stored=docs)
+    n_docs, avgdl = before.n_docs, before.avgdl
+
+    # snapshot the pre-compaction batch dirs, compact, then restore them
+    # NEXT TO the new generation == crash before cleanup
+    segroot = os.path.join(index_dir, "segments")
+    saved = {}
+    for d in glob.glob(os.path.join(segroot, "batch_*")):
+        saved[d] = str(tmp_path / ("save_" + os.path.basename(d)))
+        shutil.copytree(d, saved[d])
+    stats_saved = {}
+    for p in glob.glob(os.path.join(index_dir, "stats", "batch_*.json")):
+        with open(p) as f:
+            stats_saved[p] = f.read()
+    nrt.compact(spark, index_dir, target_segments=1)
+    for orig, copy in saved.items():
+        if not os.path.exists(orig):
+            shutil.copytree(copy, orig)
+    for p, body in stats_saved.items():
+        if not os.path.exists(p):
+            with open(p, "w") as f:
+                f.write(body)
+
+    after = nrt.load_nrt_index(spark, index_dir, stored=docs)
+    assert after.n_docs == n_docs
+    assert after.avgdl == pytest.approx(avgdl)
+    assert after.n_segments() == 1  # only the compacted generation is live
+    q = ast.Term("index", field="content")
+    a = [tuple(r) for r in Searcher(after).search(q, 10).collect()]
+    b = [tuple(r) for r in Searcher(before).search(q, 10).collect()]
+    assert a == b
