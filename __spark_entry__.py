@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucenenet_spark.functions import textstats as ts
-from lucenenet_spark.index.builder import build_inverted_index
 from lucenenet_spark.index.segments import build_segmented_index
 from lucenenet_spark.index.wand import wand_topk
 from lucenenet_spark.operators import ann, dedup, multimodal
@@ -42,30 +41,30 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
-    hit = _CACHE.get(sf_dir)
-    if hit is not None and hit[0] is spark:
-        return hit[1]
-    idx = build_inverted_index(
-        spark, _docs(spark, sf_dir), text_cols={"text": "text"},
-        keyword_cols={"source": "source"},
-    ).cache()
-    s = Searcher(idx)
-    _CACHE[sf_dir] = (spark, s)
-    return s
-
-
 def _seg_index(spark: SparkSession, sf_dir: str):
-    """Compressed-segment index over documents.text (the physical path)."""
+    """Compressed-segment index over documents (text + keyword fields) —
+    the physical path EVERY ft_* contract entry now runs on: delta+VInt
+    blobs with block-max metadata at rest, (field, term) predicates pushed
+    below the decode UDF, stats from segment metadata (no second tokenize
+    pass)."""
     hit = _SEG_CACHE.get(sf_dir)
     if hit is not None and hit[0] is spark:
         return hit[1]
     idx = build_segmented_index(
         spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
-        field_name="text",
+        field_name="text", keyword_cols={"source": "source"},
     )
     _SEG_CACHE[sf_dir] = (spark, idx)
     return idx
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    hit = _CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    s = Searcher(_seg_index(spark, sf_dir))
+    _CACHE[sf_dir] = (spark, s)
+    return s
 
 
 _PARSER = QueryParser(default_field="text", keyword_fields={"source"})
@@ -275,6 +274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": _search(ast.Phrase(("table", "hash"))),
         "ft_phrase3": _search(ast.Phrase(("merge", "group", "part"), slop=0)),
         "ft_phrase_slop": _search(ast.Phrase(("spark", "merge"), slop=3)),
+        "ft_phrase_slop3": _search(
+            ast.Phrase(("merge", "group", "part"), slop=3)
+        ),
         "ft_multiphrase": _search(
             ast.MultiPhrase((("table", "merge"), ("hash", "group")))
         ),
@@ -287,6 +289,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wildcard": _search(ast.Wildcard("s?an")),
         "ft_range": _search(ast.TermRange("query", "sort")),
         "ft_fuzzy": _search(ast.Fuzzy("scan", min_similarity=0.5)),
+        "ft_regex": _search(ast.Regex("^s[ct]a[nr].*")),
+        # --- span queries (SURVEY.md §2.4, Search/Spans/) ---
+        "ft_span_near": _search(ast.SpanNear(
+            (ast.SpanTerm("merge"), ast.SpanTerm("part")), slop=4,
+            in_order=True)),
+        "ft_span_first": _search(ast.SpanFirst(ast.SpanTerm("table"),
+                                               end=40)),
+        "ft_span_not": _search(ast.SpanNot(
+            ast.SpanNear((ast.SpanTerm("table"), ast.SpanTerm("hash")),
+                         slop=2, in_order=True),
+            ast.SpanTerm("merge"))),
+        "ft_field_score": _search(ast.FieldScore("n_chars", boost=0.01)),
+        "ft_custom_score": _search(
+            ast.CustomScore(ast.Term("spark"), ("n_chars",), boost=0.001)
+        ),
         "ft_matchall": _ft_matchall,
         "ft_constant": _search(ast.ConstantScore(ast.Prefix("st"), boost=2.5)),
         "ft_filtered": _search(ast.Filtered(ast.Term("spark"), "lang = 'en'")),
@@ -348,6 +365,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase": g.phrase_query(["table", "hash"], k=K),
         "ft_phrase3": g.phrase_query(["merge", "group", "part"], k=K),
         "ft_phrase_slop": g.phrase_query(["spark", "merge"], slop=3, k=K),
+        "ft_phrase_slop3": g.phrase_query(["merge", "group", "part"],
+                                          slop=3, k=K),
         "ft_multiphrase": g.multiphrase_query(
             [["table", "merge"], ["hash", "group"]], k=K),
         "ft_numeric_range": g.numeric_range("n_chars", 200, 400, k=K),
@@ -359,6 +378,15 @@ def oracle_sql() -> dict[str, str]:
             "term >= 'query' AND term <= 'sort'", 1.0, K
         ),
         "ft_fuzzy": g.fuzzy_query("scan", 0.5, k=K),
+        "ft_regex": g.constant_multiterm(
+            "regexp_matches(term, '^s[ct]a[nr].*')", 1.0, K),
+        "ft_span_near": g.span_near(["merge", "part"], slop=4,
+                                    in_order=True, k=K),
+        "ft_span_first": g.span_first("table", 40, K),
+        "ft_span_not": g.span_not_near(["table", "hash"], 2, "merge", K),
+        "ft_field_score": g.field_score("n_chars", K, boost=0.01),
+        "ft_custom_score": g.custom_score_term(
+            "spark", ["n_chars"], K, boost=0.001),
         "ft_matchall": g.matchall(10000),
         "ft_constant": g.constant_multiterm("term LIKE 'st%'", 2.5, K),
         "ft_filtered": g.filtered_term("spark", "lang = 'en'", K),

@@ -44,9 +44,12 @@ def tf_norm(tf_col: Column, dl_col: Column, avgdl: Column | float,
 
 
 def term_score(tf_col: Column, dl_col: Column, df_col: Column,
-               n_docs: float, avgdl: float, boost: float = 1.0) -> Column:
+               n_docs: float, avgdl: float,
+               boost: Column | float = 1.0) -> Column:
     s = idf(df_col, n_docs) * tf_norm(tf_col, dl_col, avgdl)
-    if boost != 1.0:
+    if isinstance(boost, Column):
+        s = s * boost
+    elif boost != 1.0:
         s = s * F.lit(float(boost))
     return s
 

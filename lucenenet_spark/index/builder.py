@@ -102,6 +102,16 @@ class InvertedIndex:
         got = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         return {p: got.get(p, 0) for p in pairs}
 
+    def postings_for_terms(self, term_frame: DataFrame,
+                           positions: bool = False) -> DataFrame:
+        """Postings rows for a (small) dynamic term set, any extra columns
+        of term_frame (per-term boost, df, ...) riding along — the in-plan
+        multi-term expansion: ONE broadcast join, no driver round-trip and
+        no per-term plan fan-out (SCORING_BOOLEAN rewrite at scale,
+        src/Lucene.Net/Search/MultiTermQuery.cs:79-118)."""
+        p = self.postings if positions else self.postings.drop("positions")
+        return p.join(F.broadcast(term_frame), ["field", "term"])
+
     def with_deletes(self, tombstones: DataFrame) -> "InvertedIndex":
         """Buffered-deletes analogue (.del bitmap,
         src/Lucene.Net/Util/BitVector.cs; BufferedDeletes applied at query

@@ -63,7 +63,8 @@ MERGE_FACTOR = 10  # LogMergePolicy.cs:56
 
 
 def _invert_partition(field_name: str, id_col: str, text_col: str,
-                      lang_col: str | None, positions: bool):
+                      lang_col: str | None, positions: bool,
+                      keyword: bool = False):
     """mapInPandas kernel: one segment per input partition.
 
     Vectorized invert: tokenization is the only per-doc Python; everything
@@ -72,7 +73,12 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
     factorize terms -> lexsort (term, doc, pos) -> run-length boundaries
     -> segmented encode, one byte-stream split per term. This is the
     TermsHashPerField + FreqProxTermsWriter + FormatPostings chain
-    (SURVEY.md §2.3) collapsed into five array passes."""
+    (SURVEY.md §2.3) collapsed into five array passes.
+
+    keyword=True indexes the whole column value as ONE term with tf=1,
+    dl=1, position 0 (KeywordAnalyzer, src/Lucene.Net/Analysis/
+    KeywordAnalyzer.cs) — identical semantics to the logical path's
+    keyword_cols."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -86,7 +92,10 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
         for pdf in batches:
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             for doc_id, text, lg in zip(pdf[id_col], pdf[text_col], langs):
-                toks = tokenize(text, lg)
+                if keyword:
+                    toks = [] if text is None else [(str(text), 0)]
+                else:
+                    toks = tokenize(text, lg)
                 n = len(toks)
                 if n == 0:
                     continue
@@ -362,6 +371,41 @@ class SegmentedIndex:
             )
         return self._postings_nopos
 
+    def postings_for_terms(self, term_frame: DataFrame,
+                           positions: bool = False) -> DataFrame:
+        """Postings for a dynamic term set with term_frame's extra columns
+        riding along.  The broadcast join lands on the SEGMENT rows —
+        i.e. BELOW the decode UDF — so only the matching terms' blobs ever
+        decompress (the term-dictionary seek, TermInfosReader.cs:243-308),
+        no matter that the term set is data-dependent."""
+        extra = [c for c in term_frame.columns if c not in ("field", "term")]
+        blob_cols = ["docs_blob", "tfs_blob", "dls_blob"] + (
+            ["pos_blob"] if positions else [])
+        # project segments down to the blob columns first: metadata columns
+        # (df, ttf, blocks) would collide with term_frame extras like df
+        seg = (self.segments.select("field", "term", *blob_cols)
+               .join(F.broadcast(term_frame), ["field", "term"]))
+        if positions:
+            dec = _decode_udf()
+            z = dec(F.col("docs_blob"), F.col("tfs_blob"),
+                    F.col("dls_blob"), F.col("pos_blob"))
+            zipped = F.arrays_zip(
+                z["docs"].alias("doc_id"), z["tfs"].alias("tf"),
+                z["dls"].alias("dl"), z["pos"].alias("positions"))
+            out_cols = ["doc_id", "tf", "dl", "positions"]
+        else:
+            dec = _decode_nopos_udf()
+            z = dec(F.col("docs_blob"), F.col("tfs_blob"), F.col("dls_blob"))
+            zipped = F.arrays_zip(
+                z["docs"].alias("doc_id"), z["tfs"].alias("tf"),
+                z["dls"].alias("dl"))
+            out_cols = ["doc_id", "tf", "dl"]
+        return (
+            seg.withColumn("_p", F.explode(zipped))
+            .select("field", "term", *extra,
+                    *[F.col(f"_p.{c}").alias(c) for c in out_cols])
+        )
+
     def term_stats(self) -> DataFrame:
         """Term dictionary straight from segment rows — no decode needed."""
         if self._term_stats is None:
@@ -496,8 +540,15 @@ def build_segmented_index(
     fan_in: int | None = None,
     target_segments: int = 1,
     checkpoint_dir: str | None = None,
+    keyword_cols: dict[str, str] | None = None,
 ) -> SegmentedIndex:
     """docs -> per-partition segments -> merge wave(s).
+
+    keyword_cols: {field: column} indexed NOT_ANALYZED (whole value = one
+    term, tf=1, dl=1) alongside the analyzed text field — one extra
+    mapInPandas stage per keyword field over the SAME partitioning, so
+    every field's segment s covers the same doc range and the bulk-merge
+    byte-concat fast path still applies per (field, term).
 
     fan_in=None (default) merges in ONE wave straight to target_segments —
     optimal for a one-shot batch build, where every geometric wave would
@@ -514,10 +565,26 @@ def build_segmented_index(
     field_name = field_name or text_col
     cols = [id_col, text_col] + ([lang_col] if lang_col else [])
 
+    # Fan narrow inputs out: a single-file parquet source would otherwise
+    # serialize the invert onto one core AND produce one giant segment.
+    # Range-partitioning by doc_id keeps per-segment doc ranges disjoint
+    # and ascending with seg_id — the precondition for the byte-concat
+    # bulk-merge fast path (SegmentMerger.cs:801-848 analogue).
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartitionByRange(par, id_col)
+
     seg = docs.select(*cols).mapInPandas(
         _invert_partition(field_name, id_col, text_col, lang_col, positions),
         SEGMENT_SCHEMA,
     )
+    for kfld, ksrc in (keyword_cols or {}).items():
+        kw = docs.select(id_col, ksrc).mapInPandas(
+            _invert_partition(kfld, id_col, ksrc, None, positions,
+                              keyword=True),
+            SEGMENT_SCHEMA,
+        )
+        seg = seg.unionByName(kw)
 
     lineage = []
     wave = 0
@@ -549,7 +616,8 @@ def build_segmented_index(
     stats = IndexStats(n_docs=int(n_docs), total_tokens=int(tt or 0))
 
     return SegmentedIndex(spark=spark, segments=seg, stats=stats,
-                          stored=docs, id_col=id_col, fields=(field_name,))
+                          stored=docs, id_col=id_col,
+                          fields=(field_name, *(keyword_cols or {})))
 
 
 def _commit_wave(spark: SparkSession, seg: DataFrame, ckpt: str, wave: int,

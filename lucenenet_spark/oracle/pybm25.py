@@ -175,7 +175,101 @@ class OracleIndex:
                 if key not in best:
                     best[key] = d
             return {d: inner[d] * q.boost for d in best.values()}
+        if isinstance(q, ast.SPAN_NODES):
+            return self._span_scores(q)
+        if isinstance(q, ast.Regex):
+            import re as _re
+            pat = _re.compile(q.pattern)
+            docs = set()
+            for t, post in self.post[q.field].items():
+                if pat.search(t):  # rlike semantics: partial match
+                    docs |= set(post)
+            return {d: q.boost for d in docs}
+        if isinstance(q, ast.FieldScore):
+            return {d: float(row[q.column]) * q.boost
+                    for d, row in self.docs.items()
+                    if row.get(q.column) is not None}
+        if isinstance(q, ast.CustomScore):
+            # python oracle supports plain column names as value sources
+            inner = self.score_map(q.query)
+            out = {}
+            for d, s in inner.items():
+                v = s
+                for col in q.value_exprs:
+                    v *= float(self.docs[d][col])
+                out[d] = v * q.boost
+            return out
         raise NotImplementedError(type(q).__name__)
+
+    # ---- span queries (same exactly-specified semantics as the lowering)
+
+    def _span_list(self, q: ast.Query) -> dict[int, set[tuple[int, int]]]:
+        """doc -> set of (s, e) spans."""
+        if isinstance(q, ast.SpanTerm):
+            return {
+                d: {(p, p + 1) for p in ps}
+                for d, ps in self.pos[q.field].get(q.term, {}).items()
+            }
+        if isinstance(q, ast.SpanOr):
+            out: dict[int, set] = {}
+            for c in q.clauses:
+                for d, sp in self._span_list(c).items():
+                    out.setdefault(d, set()).update(sp)
+            return out
+        if isinstance(q, ast.SpanFirst):
+            return {
+                d: kept for d, sp in self._span_list(q.match).items()
+                if (kept := {(s, e) for s, e in sp if e <= q.end})
+            }
+        if isinstance(q, ast.SpanNot):
+            inc, exc = self._span_list(q.include), self._span_list(q.exclude)
+            out = {}
+            for d, sp in inc.items():
+                xs = exc.get(d, set())
+                kept = {(s, e) for s, e in sp
+                        if not any(s < xe and e > xs_ for xs_, xe in xs)}
+                if kept:
+                    out[d] = kept
+            return out
+        if isinstance(q, ast.SpanNear):
+            import itertools
+            subs = [self._span_list(c) for c in q.clauses]
+            docs = set(subs[0])
+            for s in subs[1:]:
+                docs &= set(s)
+            out = {}
+            for d in docs:
+                spans = set()
+                for tup in itertools.product(*[sorted(s[d]) for s in subs]):
+                    if q.in_order:
+                        if any(tup[i][0] < tup[i - 1][1]
+                               for i in range(1, len(tup))):
+                            continue
+                    else:
+                        if any(not (a[1] <= b[0] or b[1] <= a[0])
+                               for a, b in itertools.combinations(tup, 2)):
+                            continue
+                    s0 = min(t[0] for t in tup)
+                    e0 = max(t[1] for t in tup)
+                    if (e0 - s0) - sum(t[1] - t[0] for t in tup) <= q.slop:
+                        spans.add((s0, e0))
+                if spans:
+                    out[d] = spans
+            return out
+        raise NotImplementedError(type(q).__name__)
+
+    def _span_scores(self, q: ast.Query) -> dict[int, float]:
+        leaves = ast.span_leaves(q)
+        field = leaves[0].field
+        idf_sum = sum(self.idf(t.field, t.term) for t in leaves
+                      if t.term in self.post[t.field])
+        if idf_sum == 0.0:
+            return {}
+        out = {}
+        for d, spans in self._span_list(q).items():
+            freq = sum(1.0 / (1.0 + (e - s)) for s, e in spans)
+            out[d] = q.boost * idf_sum * self.tf_norm(freq, self.dl[field][d])
+        return out
 
     def _multiphrase_scores(self, q: ast.MultiPhrase) -> dict[int, float]:
         offsets = q.resolved_offsets()
@@ -269,15 +363,20 @@ class OracleIndex:
             if q.slop == 0:
                 inter = set.intersection(*shifted)
                 freq = float(len(inter))
-            elif len(q.terms) == 2:
-                freq = 0.0
-                for p1 in shifted[0]:
-                    for p2 in shifted[1]:
-                        d12 = abs(p2 - p1)
-                        if d12 <= q.slop:
-                            freq += 1.0 / (1.0 + d12)
             else:
-                raise NotImplementedError
+                # any-arity sloppy spec: every tuple of shifted positions
+                # with spread d = max - min <= slop contributes
+                # sloppyFreq(d) = 1/(1+d) (DefaultSimilarity.cs:71).
+                # Documented deviation from SloppyPhraseScorer.cs:56:
+                # overlapping matches all count (the reference walks a
+                # minimal non-overlapping set); for 2 terms max-min == |Δ|,
+                # so this generalizes the established 2-term behavior.
+                import itertools
+                freq = 0.0
+                for tup in itertools.product(*shifted):
+                    dd = max(tup) - min(tup)
+                    if dd <= q.slop:
+                        freq += 1.0 / (1.0 + dd)
             if freq > 0:
                 out[d] = q.boost * idf_sum * self.tf_norm(freq, self.dl[q.field][d])
         return out

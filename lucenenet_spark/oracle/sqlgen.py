@@ -133,11 +133,20 @@ def phrase_query(terms: list[str], offsets: list[int] | None = None,
 ),
 freqs AS (SELECT doc_id, count(DISTINCT base)::DOUBLE AS freq FROM cand GROUP BY doc_id)"""
     else:
-        assert len(terms) == 2, "sloppy phrase SQL: 2 terms only"
+        # any-arity sloppy: n-way position join; every tuple with spread
+        # d = max - min <= slop contributes 1/(1+d) (mirrors the engine's
+        # nested-fold spec; for 2 terms greatest-least == abs diff)
+        shifted = [f"(t{i}.pos - {o})" for i, o in enumerate(offs)]
+        joins = [
+            f"JOIN tokens t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.term = '{t}'"
+            for i, t in enumerate(terms) if i > 0
+        ]
         freq_cte = f"""cand AS (
-  SELECT a.doc_id, abs((b.pos - {offs[1]}) - (a.pos - {offs[0]})) AS d
-  FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
-  WHERE a.term = '{terms[0]}' AND b.term = '{terms[1]}'
+  SELECT t0.doc_id,
+         greatest({", ".join(shifted)}) - least({", ".join(shifted)}) AS d
+  FROM tokens t0 {' '.join(joins)}
+  WHERE t0.term = '{terms[0]}'
 ),
 freqs AS (SELECT doc_id, sum(1.0/(1.0+d)) AS freq FROM cand WHERE d <= {slop} GROUP BY doc_id)"""
     return f"""WITH {base_ctes(table)},
@@ -405,6 +414,130 @@ d AS (
 SELECT vec_id, round(dot/(nx*ny), 6) AS cosine FROM d
 WHERE vec_id <> {query_id}
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+def _span_score_tail(k: int, boost: float) -> str:
+    """Shared scoring tail over sp(doc_id, s, e): freq = Σ 1/(1+(e-s)),
+    score = boost * idf_sum * tf_norm(freq, dl) — SpanScorer semantics."""
+    return f"""freqs AS (
+  SELECT doc_id, sum(1.0/(1.0 + (e - s))) AS freq FROM sp GROUP BY doc_id
+)
+SELECT fr.doc_id,
+       round({boost} * idfv.v * (fr.freq * {K1 + 1.0}) /
+             (fr.freq + {K1} * ({1.0 - B} + {B} * d.dl / st.avgdl)), 6) AS score
+FROM freqs fr JOIN dl d USING (doc_id) CROSS JOIN idfv CROSS JOIN st
+WHERE fr.freq > 0
+{_topk(k)}"""
+
+
+def _span_idf_cte(terms: list[str]) -> str:
+    vals = ",".join(f"('{t}')" for t in terms)
+    return f"""idfv AS (
+  SELECT sum(ln(1 + (st.n - f.df + 0.5)/(f.df + 0.5))) AS v
+  FROM (VALUES {vals}) q(term) JOIN dfs f USING (term) CROSS JOIN st
+)"""
+
+
+def span_near(terms: list[str], slop: int = 0, in_order: bool = True,
+              k: int = 10, boost: float = 1.0,
+              table: str = "documents") -> str:
+    """SpanNearQuery over term leaves: one occurrence per clause, combined
+    span (min pos, max pos + 1); in_order => strictly ascending positions;
+    unordered => pairwise-distinct positions; total-gap slop rule."""
+    n = len(terms)
+    joins = []
+    for i, t in enumerate(terms):
+        if i == 0:
+            continue
+        cond = f"t{i}.doc_id = t0.doc_id AND t{i}.term = '{t}'"
+        if in_order:
+            cond += f" AND t{i}.pos >= t{i - 1}.pos + 1"
+        joins.append(f"JOIN tokens t{i} ON {cond}")
+    uno = ""
+    if not in_order:
+        pairs = [f"t{i}.pos <> t{m}.pos"
+                 for i in range(n) for m in range(i + 1, n)]
+        uno = " AND " + " AND ".join(pairs) if pairs else ""
+    poss = ", ".join(f"t{i}.pos" for i in range(n))
+    return f"""WITH {base_ctes(table)},
+{_span_idf_cte(terms)},
+sp AS (
+  SELECT DISTINCT t0.doc_id,
+         least({poss}) AS s, greatest({poss}) + 1 AS e
+  FROM tokens t0 {' '.join(joins)}
+  WHERE t0.term = '{terms[0]}'{uno}
+    AND (greatest({poss}) + 1 - least({poss})) - {n} <= {slop}
+),
+{_span_score_tail(k, boost)}"""
+
+
+def span_first(term: str, end: int, k: int = 10, boost: float = 1.0,
+               table: str = "documents") -> str:
+    """SpanFirstQuery over a term leaf: occurrences ending by `end`."""
+    return f"""WITH {base_ctes(table)},
+{_span_idf_cte([term])},
+sp AS (
+  SELECT doc_id, pos AS s, pos + 1 AS e FROM tokens
+  WHERE term = '{term}' AND pos + 1 <= {end}
+),
+{_span_score_tail(k, boost)}"""
+
+
+def span_not_near(inc_terms: list[str], slop: int, exclude: str,
+                  k: int = 10, boost: float = 1.0,
+                  table: str = "documents") -> str:
+    """SpanNot(include=ordered SpanNear(inc_terms), exclude=SpanTerm):
+    include spans overlapping no occurrence of `exclude` survive."""
+    n = len(inc_terms)
+    joins = []
+    for i, t in enumerate(inc_terms):
+        if i == 0:
+            continue
+        joins.append(f"JOIN tokens t{i} ON t{i}.doc_id = t0.doc_id "
+                     f"AND t{i}.term = '{t}' AND t{i}.pos >= t{i - 1}.pos + 1")
+    poss = ", ".join(f"t{i}.pos" for i in range(n))
+    return f"""WITH {base_ctes(table)},
+{_span_idf_cte(inc_terms)},
+sp0 AS (
+  SELECT DISTINCT t0.doc_id,
+         least({poss}) AS s, greatest({poss}) + 1 AS e
+  FROM tokens t0 {' '.join(joins)}
+  WHERE t0.term = '{inc_terms[0]}'
+    AND (greatest({poss}) + 1 - least({poss})) - {n} <= {slop}
+),
+sp AS (
+  SELECT * FROM sp0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tokens x
+    WHERE x.doc_id = sp0.doc_id AND x.term = '{exclude}'
+      AND x.pos < sp0.e AND x.pos + 1 > sp0.s
+  )
+),
+{_span_score_tail(k, boost)}"""
+
+
+def field_score(column: str, k: int = 10, boost: float = 1.0,
+                table: str = "documents") -> str:
+    """FieldScoreQuery: score = numeric column value x boost, all docs."""
+    return f"""SELECT doc_id, round({boost}::DOUBLE * {column}, 6) AS score
+FROM {table}
+{_topk(k)}"""
+
+
+def custom_score_term(term: str, value_exprs: list[str], k: int = 10,
+                      boost: float = 1.0, table: str = "documents") -> str:
+    """CustomScoreQuery over a TermQuery: BM25 x product of value sources
+    (stored-column expressions), the default CustomScoreProvider combine."""
+    prod = " * ".join(f"(d.{e})" for e in value_exprs)
+    return f"""WITH {base_ctes(table)},
+sc AS (
+  SELECT p.doc_id, {_bm25()} AS s
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term = '{term}'
+)
+SELECT s.doc_id AS doc_id, round(s.s * {prod} * {boost}, 6) AS score
+FROM sc s JOIN {table} d USING (doc_id)
+ORDER BY score DESC, s.doc_id LIMIT {k}"""
 
 
 def matchall(k: int, boost: float = 1.0, table: str = "documents",

@@ -120,7 +120,37 @@ class TermRange(Query):
 
 
 @dataclass(frozen=True)
+class Regex(Query):
+    """contrib Regex query (src/contrib/Regex/RegexQuery.cs): multiterm
+    with a regex term predicate, CONSTANT_SCORE_FILTER rewrite like
+    Prefix/Wildcard."""
+    pattern: str
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAll(Query):
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldScore(Query):
+    """FieldScoreQuery (src/Lucene.Net/Search/Function/FieldScoreQuery.cs:63):
+    every doc matches; score = numeric stored-field value x boost (the
+    ValueSource is a plain column expression on Spark)."""
+    column: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class CustomScore(Query):
+    """CustomScoreQuery (src/Lucene.Net/Search/Function/CustomScoreQuery.cs:50):
+    score = subquery score x PRODUCT of value-source scores (the default
+    CustomScoreProvider combination); value sources are SQL expressions
+    over the stored table's columns."""
+    query: Query
+    value_exprs: tuple[str, ...]
     boost: float = 1.0
 
 
@@ -177,6 +207,77 @@ class DedupByKey(Query):
     boost: float = 1.0
 
 
+# ---- span queries (position-exposing composition, SURVEY §2.4;
+# src/Lucene.Net/Search/Spans/). A span is (doc, start, end) over token
+# positions; composition semantics (exactly specified, mirrored by the
+# Spark lowering, the pure-Python oracle and the SQL oracle):
+#   SpanTerm t         -> one span (p, p+1) per occurrence
+#   SpanOr(cs)         -> union of clause spans (dedup)
+#   SpanFirst(m, end)  -> spans of m with e <= end (SpanFirstQuery.cs)
+#   SpanNot(inc, exc)  -> spans of inc overlapping NO span of exc
+#   SpanNear(cs, slop, in_order) -> one span per clause, combined span =
+#     (min s, max e); in_order requires s_{i+1} >= e_i (strictly ordered,
+#     non-overlapping — NearSpansOrdered.cs); unordered requires pairwise
+#     non-overlap; match iff (e - s) - sum(clause widths) <= slop
+#     (the total-gap slop rule of SpanNearQuery.cs:39-49).
+# Scoring (SpanScorer.cs SetFreqCurrentDoc): freq(doc) = sum over matching
+# spans of sloppyFreq(e - s) = 1/(1 + (e - s)); idf sums over every leaf
+# term (SpanWeight ExtractTerms); BM25 tf_norm as elsewhere.
+
+
+@dataclass(frozen=True)
+class SpanTerm(Query):
+    term: str
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOr(Query):
+    clauses: tuple[Query, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNear(Query):
+    clauses: tuple[Query, ...]
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNot(Query):
+    include: Query
+    exclude: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanFirst(Query):
+    match: Query
+    end: int
+    boost: float = 1.0
+
+
+SPAN_NODES = (SpanTerm, SpanOr, SpanNear, SpanNot, SpanFirst)
+
+
+def span_leaves(q: Query) -> list[SpanTerm]:
+    """Every SpanTerm leaf (SpanWeight.ExtractTerms analogue)."""
+    if isinstance(q, SpanTerm):
+        return [q]
+    if isinstance(q, SpanOr):
+        return [t for c in q.clauses for t in span_leaves(c)]
+    if isinstance(q, SpanNear):
+        return [t for c in q.clauses for t in span_leaves(c)]
+    if isinstance(q, SpanNot):
+        return span_leaves(q.include)  # exclude terms don't contribute idf
+    if isinstance(q, SpanFirst):
+        return span_leaves(q.match)
+    raise TypeError(f"not a span query: {type(q).__name__}")
+
+
 def rewrite(q: Query) -> Query:
     """Reference construction-time rewrites, to fixpoint-in-one-pass."""
     if isinstance(q, Bool):
@@ -201,7 +302,7 @@ def rewrite(q: Query) -> Query:
                               0, q.offsets, q.boost))
     if isinstance(q, DisMax):
         return replace(q, queries=tuple(rewrite(c) for c in q.queries))
-    if isinstance(q, (ConstantScore, Filtered, DedupByKey)):
+    if isinstance(q, (ConstantScore, Filtered, DedupByKey, CustomScore)):
         return replace(q, query=rewrite(q.query))
     if isinstance(q, Boosting):
         return replace(q, match=rewrite(q.match), context=rewrite(q.context))

@@ -255,16 +255,22 @@ class Searcher:
             return self._constant_frame(q.query, q.boost)
         if isinstance(q, ast.Filtered):
             return self._filtered_frame(q)
-        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange)):
+        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange, ast.Regex)):
             return self._constant_frame(q, q.boost)
         if isinstance(q, ast.Fuzzy):
             return self._fuzzy_frame(q)
+        if isinstance(q, ast.FieldScore):
+            return self._field_score_frame(q)
+        if isinstance(q, ast.CustomScore):
+            return self._custom_score_frame(q)
+        if isinstance(q, ast.SPAN_NODES):
+            return self._span_score_frame(q)
         raise NotImplementedError(type(q).__name__)
 
     def match_frame(self, q: ast.Query) -> DataFrame:
         """doc_id set only (Filter/DocIdSet analogue) — skips scoring where
         the plan allows (constant-score semi-joins)."""
-        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange)):
+        if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange, ast.Regex)):
             return self._expand_match_ids(q)
         return self.score_frame(q).select("doc_id")
 
@@ -406,31 +412,34 @@ class Searcher:
                 lambda acc, xs: F.array_intersect(acc, xs),
             )
             freq = F.size(inter).cast("double")
-        elif len(pairs) == 2:
-            # sloppy 2-term spec: every position pair within slop contributes
-            # 1/(1+d), d = |shifted distance| (sloppyFreq analogue,
-            # src/Lucene.Net/Search/DefaultSimilarity.cs:71). Documented
-            # deviation: overlapping matches all count (the reference's
-            # SloppyPhraseScorer counts a minimal non-overlapping set).
-            a = F.element_at(shifted, 1)
-            bq = F.element_at(shifted, 2)
-            freq = F.aggregate(
-                a,
-                F.lit(0.0),
-                lambda acc, p1: acc
-                + F.aggregate(
-                    bq,
-                    F.lit(0.0),
-                    lambda acc2, p2: acc2
-                    + F.when(
-                        F.abs(p2 - p1) <= q.slop, 1.0 / (1.0 + F.abs(p2 - p1))
-                    ).otherwise(0.0),
-                ),
-            )
         else:
-            raise NotImplementedError(
-                "sloppy phrases with >2 terms are not supported (see SURVEY §2.4)"
-            )
+            # any-arity sloppy spec: every tuple of shifted positions (one
+            # per query position) with spread d = max - min <= slop
+            # contributes sloppyFreq(d) = 1/(1+d)
+            # (src/Lucene.Net/Search/DefaultSimilarity.cs:71).  Documented
+            # deviation from SloppyPhraseScorer.cs:56: overlapping matches
+            # all count (the reference walks a minimal non-overlapping
+            # set); for 2 terms max-min == |Δ|, so this generalizes the
+            # established 2-term behavior.  Lowered as NESTED higher-order
+            # folds over the n position arrays — tuple enumeration happens
+            # inside one JVM expression per doc row, no extra join or
+            # explode (tuple count = Π tf_i, query-term-bounded).
+            arrays = [F.element_at(shifted, i + 1)
+                      for i in range(len(pairs))]
+
+            def fold(i, mn, mx):
+                if i == len(arrays):
+                    d = (mx - mn).cast("double")
+                    return F.when(mx - mn <= q.slop,
+                                  1.0 / (1.0 + d)).otherwise(0.0)
+                return F.aggregate(
+                    arrays[i], F.lit(0.0),
+                    lambda acc, p: acc + fold(i + 1, F.least(mn, p),
+                                              F.greatest(mx, p)))
+
+            freq = F.aggregate(
+                arrays[0], F.lit(0.0),
+                lambda acc, p: acc + fold(1, p, p))
         scored = per_doc.select(
             "doc_id",
             (
@@ -552,6 +561,8 @@ class Searcher:
             return t.startswith(q.prefix)
         if isinstance(q, ast.Wildcard):
             return t.rlike(wildcard_to_regex(q.pattern))
+        if isinstance(q, ast.Regex):
+            return t.rlike(q.pattern)
         if isinstance(q, ast.TermRange):
             conds = []
             if q.lower is not None:
@@ -580,7 +591,14 @@ class Searcher:
         return ids.select("doc_id", F.lit(float(boost)).alias("score"))
 
     def _fuzzy_frame(self, q: ast.Fuzzy) -> DataFrame:
-        """SCORING_BOOLEAN rewrite with per-term boost from similarity."""
+        """SCORING_BOOLEAN rewrite, fully in-plan: the candidate
+        (field, term, df, tboost) frame — term-dictionary scan, Levenshtein
+        predicate, top-1024 by (sim desc, term asc) — broadcast-joins the
+        postings ONCE, with the similarity boost riding as a column.  No
+        driver collect, no per-term plan fan-out; on the segmented path
+        the join lands below the decode UDF so only candidate blobs
+        decompress (FuzzyTermEnum.cs:135-183 semantics, MultiTermQuery
+        SCORING_BOOLEAN rewrite at plan scale)."""
         t = F.col("term")
         cand = self.index.term_stats().where(F.col("field") == q.field)
         if q.prefix_length > 0:
@@ -588,31 +606,132 @@ class Searcher:
         sim = 1.0 - F.levenshtein(t, F.lit(q.term)).cast("double") / F.least(
             F.length(t), F.lit(len(q.term))
         ).cast("double")
+        tboost = (
+            (F.col("sim") - q.min_similarity) / (1.0 - q.min_similarity)
+        ) * F.lit(float(q.boost))
         cand = (
-            cand.select("term", "df", sim.alias("sim"))
+            cand.select("field", "term", "df", sim.alias("sim"))
             .where(F.col("sim") >= q.min_similarity)
             .orderBy(F.col("sim").desc(), F.col("term").asc())
             .limit(ast.MAX_CLAUSE_COUNT)  # FuzzyQuery top-1024 expansion
-            .collect()
+            .select("field", "term", "df", tboost.alias("tboost"))
         )
-        if not cand:
+        p = self.index.postings_for_terms(cand)
+        score = bm25.term_score(
+            F.col("tf"), F.col("dl"), F.col("df"),
+            self.index.n_docs, self.index.avgdl, F.col("tboost"),
+        )
+        return (
+            p.select("doc_id", score.alias("score"))
+            .groupBy("doc_id").agg(F.sum("score").alias("score"))
+        )
+
+    # ---- span queries (SURVEY §2.4, src/Lucene.Net/Search/Spans/)
+
+    def _spans(self, q: ast.Query) -> DataFrame:
+        """(doc_id, dl, s, e) span rows for a span query tree.  SpanTerm
+        leaves carry a static (field, term) predicate, so on the segmented
+        path only the leaf terms' position blobs decompress; composites
+        are joins/unions over those already-tiny frames."""
+        if isinstance(q, ast.SpanTerm):
+            p = self.index.postings.where(
+                (F.col("field") == q.field) & (F.col("term") == q.term))
+            return (p.select("doc_id", "dl",
+                             F.explode("positions").alias("s"))
+                    .withColumn("e", F.col("s") + F.lit(1)))
+        if isinstance(q, ast.SpanOr):
+            frames = [self._spans(c) for c in q.clauses]
+            u = frames[0]
+            for fr in frames[1:]:
+                u = u.unionByName(fr)
+            return u.distinct()
+        if isinstance(q, ast.SpanFirst):
+            return self._spans(q.match).where(F.col("e") <= q.end)
+        if isinstance(q, ast.SpanNot):
+            inc = self._spans(q.include)
+            exc = self._spans(q.exclude).select(
+                F.col("doc_id").alias("xdoc"), F.col("s").alias("xs"),
+                F.col("e").alias("xe"))
+            overlap = ((inc["doc_id"] == exc["xdoc"])
+                       & (inc["s"] < exc["xe"]) & (inc["e"] > exc["xs"]))
+            return inc.join(exc, overlap, "left_anti")
+        if isinstance(q, ast.SpanNear):
+            n = len(q.clauses)
+            frames = []
+            for i, c in enumerate(q.clauses):
+                fr = self._spans(c).select(
+                    "doc_id", *(["dl"] if i == 0 else []),
+                    F.col("s").alias(f"s{i}"), F.col("e").alias(f"e{i}"))
+                frames.append(fr)
+            j = frames[0]
+            for i in range(1, n):
+                j = j.join(frames[i], "doc_id")
+                if q.in_order:
+                    # strictly ordered, non-overlapping (NearSpansOrdered)
+                    j = j.where(F.col(f"s{i}") >= F.col(f"e{i - 1}"))
+            if not q.in_order:
+                for i in range(n):
+                    for m in range(i + 1, n):
+                        j = j.where((F.col(f"e{i}") <= F.col(f"s{m}"))
+                                    | (F.col(f"e{m}") <= F.col(f"s{i}")))
+            start = F.least(*[F.col(f"s{i}") for i in range(n)])
+            end = F.greatest(*[F.col(f"e{i}") for i in range(n)])
+            widths = sum((F.col(f"e{i}") - F.col(f"s{i}")) for i in range(n))
+            slack = (end - start) - widths
+            return (j.where(slack <= q.slop)
+                    .select("doc_id", "dl", start.alias("s"),
+                            end.alias("e"))
+                    .distinct())
+        raise NotImplementedError(type(q).__name__)
+
+    def _span_score_frame(self, q: ast.Query) -> DataFrame:
+        """SpanScorer analogue: freq(doc) = Σ_spans 1/(1 + (e - s))
+        (sloppyFreq of the span width, SpanScorer.cs SetFreqCurrentDoc);
+        idf sums over the leaf terms (SpanWeight.ExtractTerms)."""
+        leaves = ast.span_leaves(q)
+        dfm = self._term_df_map([(t.field, t.term) for t in leaves])
+        idf_sum = sum(_idf(dfm[(t.field, t.term)], self.index.n_docs)
+                      for t in leaves if dfm[(t.field, t.term)] > 0)
+        if idf_sum == 0.0:
             return self._empty_frame()
-        n, avgdl = self.index.n_docs, self.index.avgdl
-        frames = []
-        for r in cand:
-            tb = (r["sim"] - q.min_similarity) / (1.0 - q.min_similarity)
-            p = self._postings_nopos.where(
-                (F.col("field") == q.field) & (F.col("term") == r["term"])
-            )
-            score = bm25.term_score(
-                F.col("tf"), F.col("dl"), F.lit(int(r["df"])), n, avgdl,
-                q.boost * tb,
-            )
-            frames.append(p.select("doc_id", score.alias("score")))
-        u = frames[0]
-        for fr in frames[1:]:
-            u = u.unionByName(fr)
-        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        spans = self._spans(q)
+        contrib = 1.0 / (1.0 + (F.col("e") - F.col("s")).cast("double"))
+        per_doc = (spans.groupBy("doc_id", "dl")
+                   .agg(F.sum(contrib).alias("freq")))
+        score = (F.lit(float(q.boost)) * F.lit(idf_sum)
+                 * bm25.tf_norm(F.col("freq"), F.col("dl"),
+                                self.index.avgdl))
+        return per_doc.select("doc_id", score.alias("score"))
+
+    # ---- function queries (score from field values)
+
+    def _field_score_frame(self, q: ast.FieldScore) -> DataFrame:
+        """FieldScoreQuery: the ValueSource is literally the stored column
+        (src/Lucene.Net/Search/Function/FieldScoreQuery.cs:63) — on Spark
+        the FieldCache un-inversion is a no-op because the column exists."""
+        stored = self.index.stored
+        return stored.select(
+            F.col(self.index.id_col).alias("doc_id"),
+            (F.expr(q.column).cast("double") * F.lit(float(q.boost)))
+            .alias("score"))
+
+    def _custom_score_frame(self, q: ast.CustomScore) -> DataFrame:
+        """CustomScoreQuery default combination: subQueryScore x PRODUCT of
+        value sources (src/Lucene.Net/Search/Function/CustomScoreQuery.cs:50,
+        CustomScoreProvider.CustomScore) — column arithmetic after one join
+        of the subquery hits against the stored table."""
+        inner = self.score_frame(q.query)
+        stored = self.index.stored
+        vals = stored.select(
+            F.col(self.index.id_col).alias("doc_id"),
+            *[F.expr(e).cast("double").alias(f"_v{i}")
+              for i, e in enumerate(q.value_exprs)])
+        joined = inner.join(vals, "doc_id")
+        s = F.col("score")
+        for i in range(len(q.value_exprs)):
+            s = s * F.col(f"_v{i}")
+        return joined.select(
+            "doc_id", (s * F.lit(float(q.boost))).alias("score"))
 
     # ---- filtered
 

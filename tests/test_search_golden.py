@@ -68,6 +68,31 @@ QUERIES = [
         must=(ast.Bool(should=(ast.Term("aa"), ast.Term("e"))),),
         should=(ast.Term("c"),), must_not=(ast.Term("x"),))),
     ("one_clause_collapse", ast.Bool(must=(ast.Term("aa", boost=1.5),), boost=2.0)),
+    # sloppy phrases, any arity (SloppyPhraseScorer.cs:56 analogue)
+    ("phrase3_slop0", ast.Phrase(("one", "two", "three"), slop=0)),
+    ("phrase3_slop2", ast.Phrase(("one", "two", "three"), slop=2)),
+    ("phrase3_reordered", ast.Phrase(("three", "two", "one"), slop=4)),
+    ("phrase4_slop3", ast.Phrase(("one", "two", "three", "four"), slop=3)),
+    # regex multiterm (contrib Regex)
+    ("regex", ast.Regex("^met.l")),
+    ("regex_partial", ast.Regex("ppl")),
+    # span queries (Search/Spans/)
+    ("span_term", ast.SpanTerm("b")),
+    ("span_near_ord", ast.SpanNear((ast.SpanTerm("b"), ast.SpanTerm("d")),
+                                   slop=2, in_order=True)),
+    ("span_near_unord", ast.SpanNear((ast.SpanTerm("three"), ast.SpanTerm("one")),
+                                     slop=3, in_order=False)),
+    ("span_near_3", ast.SpanNear((ast.SpanTerm("aa"), ast.SpanTerm("b"),
+                                  ast.SpanTerm("c")), slop=1, in_order=True)),
+    ("span_or", ast.SpanOr((ast.SpanTerm("aa"), ast.SpanTerm("foo")))),
+    ("span_first", ast.SpanFirst(ast.SpanTerm("b"), end=2)),
+    ("span_not", ast.SpanNot(
+        ast.SpanNear((ast.SpanTerm("b"), ast.SpanTerm("c")), slop=1),
+        ast.SpanTerm("aa"))),
+    ("span_nested", ast.SpanNear(
+        (ast.SpanOr((ast.SpanTerm("aa"), ast.SpanTerm("one"))),
+         ast.SpanOr((ast.SpanTerm("b"), ast.SpanTerm("two")))),
+        slop=2, in_order=True)),
 ]
 
 
