@@ -203,6 +203,17 @@ def _mm_frames(spark, sf_dir):
     return multimodal.frame_sample(_mm_payloads(spark, sf_dir))
 
 
+def _tfidf_search(q: ast.Query, k: int = K):
+    """Search under ClassicSimilarity (the reference's TF-IDF,
+    DefaultSimilarity.cs) — the §2.12 pluggable-Similarity seam."""
+    from lucenenet_spark.functions.similarity import ClassicSimilarity
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _seg_index(spark, sf_dir)
+        return Searcher(idx, similarity=ClassicSimilarity()).search(q, k)
+    return run
+
+
 def _parsed(text: str, k: int = K):
     """Lucene-syntax string -> parse -> search (QueryParser.cs analogue)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,6 +315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_custom_score": _search(
             ast.CustomScore(ast.Term("spark"), ("n_chars",), boost=0.001)
         ),
+        "ft_tfidf_term": _tfidf_search(ast.Term("spark")),
+        "ft_tfidf_or": _tfidf_search(
+            ast.Bool(should=(ast.Term("spark"), ast.Term("merge")))
+        ),
         "ft_matchall": _ft_matchall,
         "ft_constant": _search(ast.ConstantScore(ast.Prefix("st"), boost=2.5)),
         "ft_filtered": _search(ast.Filtered(ast.Term("spark"), "lang = 'en'")),
@@ -387,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_field_score": g.field_score("n_chars", K, boost=0.01),
         "ft_custom_score": g.custom_score_term(
             "spark", ["n_chars"], K, boost=0.001),
+        "ft_tfidf_term": g.tfidf_term_query("spark", K),
+        "ft_tfidf_or": g.tfidf_bool_or(["spark", "merge"], K),
         "ft_matchall": g.matchall(10000),
         "ft_constant": g.constant_multiterm("term LIKE 'st%'", 2.5, K),
         "ft_filtered": g.filtered_term("spark", "lang = 'en'", K),

@@ -102,6 +102,18 @@ class InvertedIndex:
         got = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         return {p: got.get(p, 0) for p in pairs}
 
+    def term_vectors(self) -> DataFrame:
+        """Forward index (doc_id, field, vec: array<struct<term, tf>>) —
+        the .tvx/.tvd/.tvf analogue (src/Lucene.Net/Index/
+        TermVectorsWriter.cs).  One shuffle on doc_id; persist/cache it at
+        build time when per-doc term access (MoreLikeThis, highlighting)
+        is on the hot path — a posting-table scan per doc is the
+        alternative."""
+        return (
+            self.postings.groupBy("doc_id", "field")
+            .agg(F.collect_list(F.struct("term", "tf")).alias("vec"))
+        )
+
     def postings_for_terms(self, term_frame: DataFrame,
                            positions: bool = False) -> DataFrame:
         """Postings rows for a (small) dynamic term set, any extra columns
@@ -222,6 +234,7 @@ def build_inverted_index(
     lang_col: str | None = None,
     positions: bool = True,
     keyword_cols: dict[str, str] | None = None,
+    fold_ascii: bool = False,
 ) -> InvertedIndex:
     """Build an InvertedIndex over `docs`.
 
@@ -229,9 +242,17 @@ def build_inverted_index(
     keyword_cols: {field: column} indexed NOT_ANALYZED (whole value = one
     term, KeywordAnalyzer analogue, src/Lucene.Net/Analysis/KeywordAnalyzer.cs);
     dl contribution of keyword fields is 1 per doc per field.
+    fold_ascii: fold accented chars to ASCII before tokenizing
+    (ASCIIFoldingFilter/ISOLatin1AccentFilter analogue, analysis/folding.py)
+    — applies to analyzed text fields only; query text must be folded with
+    the same map (analysis.folding.fold_ascii_py).
     """
     if isinstance(text_cols, str):
         text_cols = {DEFAULT_FIELD: text_cols}
+    if fold_ascii:
+        from ..analysis.folding import fold_ascii_col
+        for src in set(text_cols.values()):
+            docs = docs.withColumn(src, fold_ascii_col(F.col(src)))
 
     # Fan narrow inputs out to the cluster: a source that arrives as a
     # handful of parquet files (one, at small SF) would otherwise serialize

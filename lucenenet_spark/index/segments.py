@@ -64,7 +64,7 @@ MERGE_FACTOR = 10  # LogMergePolicy.cs:56
 
 def _invert_partition(field_name: str, id_col: str, text_col: str,
                       lang_col: str | None, positions: bool,
-                      keyword: bool = False):
+                      keyword: bool = False, fold: bool = False):
     """mapInPandas kernel: one segment per input partition.
 
     Vectorized invert: tokenization is the only per-doc Python; everything
@@ -95,6 +95,9 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
                 if keyword:
                     toks = [] if text is None else [(str(text), 0)]
                 else:
+                    if fold and text is not None:
+                        from ..analysis.folding import fold_ascii_py
+                        text = fold_ascii_py(text)
                     toks = tokenize(text, lg)
                 n = len(toks)
                 if n == 0:
@@ -406,6 +409,16 @@ class SegmentedIndex:
                     *[F.col(f"_p.{c}").alias(c) for c in out_cols])
         )
 
+    def term_vectors(self) -> DataFrame:
+        """Forward index (doc_id, field, vec: array<struct<term, tf>>) —
+        full decode + one shuffle; materialize once per index generation
+        (TermVectorsWriter.cs analogue; serves MoreLikeThis without a
+        per-query posting-table scan)."""
+        return (
+            self.postings_nopos.groupBy("doc_id", "field")
+            .agg(F.collect_list(F.struct("term", "tf")).alias("vec"))
+        )
+
     def term_stats(self) -> DataFrame:
         """Term dictionary straight from segment rows — no decode needed."""
         if self._term_stats is None:
@@ -541,6 +554,8 @@ def build_segmented_index(
     target_segments: int = 1,
     checkpoint_dir: str | None = None,
     keyword_cols: dict[str, str] | None = None,
+    retain_waves: int | None = 2,
+    fold_ascii: bool = False,
 ) -> SegmentedIndex:
     """docs -> per-partition segments -> merge wave(s).
 
@@ -560,7 +575,13 @@ def build_segmented_index(
     With checkpoint_dir set, every wave commits to parquet with a lineage
     row and a previously-interrupted build resumes at the last committed
     wave (two-phase-commit analogue of IndexWriter.PrepareCommit/
-    StartCommit, IndexWriter.cs:3988/5527).
+    StartCommit, IndexWriter.cs:3988/5527).  Resume jumps STRAIGHT to the
+    newest committed wave — earlier waves are never replayed — which is
+    what makes the retention policy safe: retain_waves keeps only the
+    last N committed wave dirs (KeepOnlyLastCommitDeletionPolicy
+    generalized to N, src/Lucene.Net/Index/
+    KeepOnlyLastCommitDeletionPolicy.cs); None retains every wave
+    (SnapshotDeletionPolicy-style keep-all).
     """
     field_name = field_name or text_col
     cols = [id_col, text_col] + ([lang_col] if lang_col else [])
@@ -575,7 +596,8 @@ def build_segmented_index(
         docs = docs.repartitionByRange(par, id_col)
 
     seg = docs.select(*cols).mapInPandas(
-        _invert_partition(field_name, id_col, text_col, lang_col, positions),
+        _invert_partition(field_name, id_col, text_col, lang_col, positions,
+                          fold=fold_ascii),
         SEGMENT_SCHEMA,
     )
     for kfld, ksrc in (keyword_cols or {}).items():
@@ -588,11 +610,22 @@ def build_segmented_index(
 
     lineage = []
     wave = 0
+    n = docs.rdd.getNumPartitions()
     if checkpoint_dir:
-        seg, wave = _commit_wave(spark, seg, checkpoint_dir, 0, lineage)
+        latest = _latest_committed_wave(checkpoint_dir)
+        if latest is None:
+            seg, wave = _commit_wave(spark, seg, checkpoint_dir, 0, lineage)
+        else:
+            # resume at the newest committed wave; earlier waves (possibly
+            # already expired by the retention policy) are never replayed
+            wave = latest
+            seg = spark.read.parquet(
+                os.path.join(checkpoint_dir, f"wave_{latest:03d}",
+                             "segments"))
+            n = seg.select("seg_id").distinct().count()
+        _expire_waves(checkpoint_dir, wave, retain_waves)
 
     # merge: one shot (fan_in=None) or geometric waves down to target
-    n = docs.rdd.getNumPartitions()
     while n > target_segments:
         fan = fan_in if fan_in is not None else (
             (n + target_segments - 1) // target_segments)
@@ -603,6 +636,7 @@ def build_segmented_index(
         wave += 1
         if checkpoint_dir:
             seg, wave = _commit_wave(spark, seg, checkpoint_dir, wave, lineage)
+            _expire_waves(checkpoint_dir, wave, retain_waves)
 
     # Materialize the merged segments once — every query and the stats agg
     # below reuse them (the committed-segment-set analogue).
@@ -618,6 +652,183 @@ def build_segmented_index(
     return SegmentedIndex(spark=spark, segments=seg, stats=stats,
                           stored=docs, id_col=id_col,
                           fields=(field_name, *(keyword_cols or {})))
+
+
+def update_documents(
+    index: SegmentedIndex,
+    new_docs: DataFrame,
+    key_cols: list[str],
+    text_col: str,
+    lang_col: str | None = None,
+    positions: bool = True,
+    keyword_cols: dict[str, str] | None = None,
+) -> SegmentedIndex:
+    """Atomic UpdateDocument: delete-by-key + add in one step
+    (src/Lucene.Net/Index/IndexWriter.cs:2479 UpdateDocument = buffered
+    delete-by-term + AddDocument; test mirror TestAtomicUpdate.cs).
+
+    Like the reference, updated documents get NEW doc_ids (docIDs are not
+    stable identifiers, SURVEY §1.2): the old rows matching new_docs'
+    key_cols are tombstoned, new rows are inverted as fresh segments with
+    seg_ids above the existing range.  Also like the reference, deleted
+    docs keep counting in df and N until a physical purge (IndexReader.
+    DocFreq ignores deletions; norms/maxDoc include deleted docs until
+    ExpungeDeletes) — so the updated index answers queries exactly like
+    `build_segmented_index(old_corpus ∪ new_rows).with_deletes(old_ids)`,
+    which is what the test asserts.  Tombstoned postings stay in the
+    segment bytes until an explicit expunge rewrite (merge waves
+    byte-concatenate and do not filter)."""
+    spark = index.spark
+    id_col = index.id_col
+    field_name = index.fields[0]
+
+    keys = new_docs.select(*key_cols).distinct()
+    dead = (index.stored.join(keys, list(key_cols), "left_semi")
+            .select(F.col(id_col).alias("doc_id")))
+
+    base = (index.stored.agg(F.max(F.col(id_col))).collect()[0][0] or 0) + 1
+    from pyspark.sql import Window
+    fresh = new_docs.withColumn(
+        id_col,
+        F.lit(int(base))
+        + F.row_number().over(Window.orderBy(*key_cols)).cast("long") - 1)
+
+    max_seg = (index.segments.agg(F.max("seg_id")).collect()[0][0] or 0)
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+    seg2 = fresh.select(*cols).mapInPandas(
+        _invert_partition(field_name, id_col, text_col, lang_col, positions),
+        SEGMENT_SCHEMA,
+    )
+    for kfld, ksrc in (keyword_cols or {}).items():
+        kw = fresh.select(id_col, ksrc).mapInPandas(
+            _invert_partition(kfld, id_col, ksrc, None, positions,
+                              keyword=True),
+            SEGMENT_SCHEMA,
+        )
+        seg2 = seg2.unionByName(kw)
+    seg2 = seg2.withColumn(
+        "seg_id", F.col("seg_id") + F.lit(int(max_seg) + 1)).cache()
+
+    new_row = fresh.agg(F.count("*").alias("n")).collect()[0]
+    new_tokens = int(
+        seg2.where(F.col("field") == field_name)
+        .agg(F.sum("ttf")).collect()[0][0] or 0)
+    # stats grow by the added docs only; tombstoned docs still count
+    # (reference semantics: df/N see deletes only after a purge)
+    stats = IndexStats(
+        n_docs=index.stats.n_docs + int(new_row["n"]),
+        total_tokens=index.stats.total_tokens + new_tokens)
+
+    stored_new = (
+        index.stored.join(keys, list(key_cols), "left_anti")
+        .unionByName(fresh.select(*index.stored.columns)))
+    tomb = dead if index.tombstones is None else (
+        index.tombstones.unionByName(dead).distinct())
+
+    from dataclasses import replace
+    return replace(index, segments=index.segments.unionByName(seg2),
+                   stats=stats, stored=stored_new, tombstones=tomb,
+                   _postings=None, _postings_nopos=None, _term_stats=None)
+
+
+def _latest_committed_wave(ckpt: str) -> int | None:
+    """Highest wave index with a _COMMITTED marker, or None."""
+    import glob as _glob
+    waves = []
+    for m in _glob.glob(os.path.join(ckpt, "wave_*", "_COMMITTED.json")):
+        name = os.path.basename(os.path.dirname(m))
+        waves.append(int(name.split("_")[1]))
+    return max(waves) if waves else None
+
+
+def _expire_waves(ckpt: str, current: int, retain: int | None) -> None:
+    """Deletion policy: drop committed wave dirs older than the last
+    `retain` (None = keep all).  Runs AFTER the newer wave committed, so
+    a crash mid-expire still leaves a resumable checkpoint."""
+    if retain is None:
+        return
+    import glob as _glob
+    import shutil
+    cutoff = current - retain + 1
+    for d in _glob.glob(os.path.join(ckpt, "wave_*")):
+        try:
+            idx = int(os.path.basename(d).split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if idx < cutoff:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
+    """ExpungeDeletes analogue (IndexWriter.ExpungeDeletes; the delete
+    squeeze-out SegmentMerger does via docMap, src/Lucene.Net/Index/
+    SegmentMerger.cs:819-821): physically rewrite the segment rows with
+    tombstoned doc_ids removed, drop posting lists that become empty,
+    clear the tombstone set, and recompute stats over the LIVE set — df
+    and N reflect the deletes only after this point, exactly like the
+    reference.  The tombstone ids ship to the rewrite kernel as one
+    sorted numpy array (at 100 TB scale this becomes a per-segment
+    bitmap/join; the kernel shape is unchanged).  Rows whose posting list
+    contains no dead doc pass through byte-identical (no re-encode)."""
+    if index.tombstones is None:
+        return index
+    dead = np.array(
+        sorted(r["doc_id"] for r in index.tombstones.collect()), np.int64)
+    if dead.size == 0:
+        from dataclasses import replace
+        return replace(index, tombstones=None)
+    field_name = index.fields[0]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "field", "term", "seg_id", "df", "ttf", "docs_blob",
+                "tfs_blob", "dls_blob", "pos_blob", "blocks")}
+            for row in pdf.itertuples(index=False):
+                docs, tfs, dls, pos = codec.decode_postings(
+                    bytes(row.docs_blob), bytes(row.tfs_blob),
+                    bytes(row.dls_blob),
+                    bytes(row.pos_blob) if row.pos_blob else b"")
+                hit = np.isin(docs, dead)
+                if not hit.any():
+                    enc = {"df": int(row.df), "ttf": int(row.ttf),
+                           "docs_blob": bytes(row.docs_blob),
+                           "tfs_blob": bytes(row.tfs_blob),
+                           "dls_blob": bytes(row.dls_blob),
+                           "pos_blob": (bytes(row.pos_blob)
+                                        if row.pos_blob else b""),
+                           "blocks": (list(row.blocks)
+                                      if row.blocks is not None else [])}
+                else:
+                    keep = ~hit
+                    if not keep.any():
+                        continue  # whole posting list was deleted docs
+                    pk = (pos[np.repeat(keep, tfs)]
+                          if pos is not None else None)
+                    enc = codec.encode_postings(
+                        docs[keep], tfs[keep], dls[keep], pk)
+                out["field"].append(row.field)
+                out["term"].append(row.term)
+                out["seg_id"].append(int(row.seg_id))
+                for k in ("df", "ttf", "docs_blob", "tfs_blob",
+                          "dls_blob", "pos_blob", "blocks"):
+                    out[k].append(enc[k])
+            yield pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA])
+
+    seg2 = index.segments.mapInPandas(kernel, SEGMENT_SCHEMA).cache()
+    tt = (seg2.where(F.col("field") == field_name)
+          .agg(F.sum("ttf")).collect()[0][0])
+    stats = IndexStats(n_docs=index.stats.n_docs - int(dead.size),
+                       total_tokens=int(tt or 0))
+    stored_new = index.stored
+    if stored_new is not None:
+        stored_new = stored_new.join(
+            index.tombstones.withColumnRenamed("doc_id", index.id_col),
+            index.id_col, "left_anti")
+    from dataclasses import replace
+    return replace(index, segments=seg2, stats=stats, stored=stored_new,
+                   tombstones=None, _postings=None, _postings_nopos=None,
+                   _term_stats=None)
 
 
 def _commit_wave(spark: SparkSession, seg: DataFrame, ckpt: str, wave: int,

@@ -50,6 +50,38 @@ def _bm25(tf: str = "p.tf", dl: str = "p.dl", df: str = "f.df") -> str:
     )
 
 
+def _tfidf(tf: str = "p.tf", dl: str = "p.dl", df: str = "f.df") -> str:
+    """ClassicSimilarity per-term score (DefaultSimilarity.cs): idf^2 *
+    sqrt(tf) / sqrt(dl) — queryNorm omitted (rank-neutral constant)."""
+    return (
+        f"pow(ln(st.n::DOUBLE/({df} + 1.0)) + 1.0, 2) * "
+        f"sqrt({tf}::DOUBLE) / sqrt({dl}::DOUBLE)"
+    )
+
+
+def tfidf_term_query(term: str, k: int = 10, boost: float = 1.0,
+                     table: str = "documents") -> str:
+    return f"""WITH {base_ctes(table)}
+SELECT p.doc_id, round({boost} * {_tfidf()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+def tfidf_bool_or(terms: list[str], k: int = 10,
+                  table: str = "documents") -> str:
+    """Disjunctive TF-IDF: per-doc sum of classic term scores."""
+    rows = ",".join(f"('{t}')" for t in terms)
+    return f"""WITH {base_ctes(table)},
+qt AS (SELECT * FROM (VALUES {rows}) v(term)),
+sc AS (
+  SELECT p.doc_id, {_tfidf()} AS s
+  FROM post p JOIN qt q USING (term) JOIN dfs f USING (term) CROSS JOIN st
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+{_topk(k)}"""
+
+
 def _topk(k: int) -> str:
     return f"ORDER BY score DESC, doc_id LIMIT {k}"
 

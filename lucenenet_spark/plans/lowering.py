@@ -37,6 +37,7 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import bm25
+from ..functions.similarity import BM25Similarity
 from ..index.builder import InvertedIndex
 from . import ast
 
@@ -61,9 +62,15 @@ class Searcher:
     """IndexSearcher analogue over an InvertedIndex
     (src/Lucene.Net/Search/IndexSearcher.cs)."""
 
-    def __init__(self, index: InvertedIndex):
+    def __init__(self, index: InvertedIndex, similarity=None):
+        """similarity: a functions.similarity strategy object
+        (Searcher.SetSimilarity analogue, src/Lucene.Net/Search/
+        Searcher.cs / Similarity.cs:560,644).  Default BM25; pass
+        ClassicSimilarity for the reference's TF-IDF.  `explain` renders
+        BM25 details only (the default)."""
         self.index = index
         self.spark = index.spark
+        self.sim = similarity if similarity is not None else BM25Similarity()
 
     @property
     def _postings_nopos(self) -> DataFrame:
@@ -100,18 +107,36 @@ class Searcher:
         return self._live(self.score_frame(ast.rewrite(q))).count()
 
     def more_like_this(self, doc_id: int, max_terms: int = 5, k: int = 10,
-                       field: str | None = None) -> DataFrame:
+                       field: str | None = None,
+                       term_vectors: DataFrame | None = None) -> DataFrame:
         """MoreLikeThis (src/contrib/Queries/Similar/MoreLikeThis.cs):
         extract the source doc's top tf*idf terms, run them as a
         disjunctive BM25 query, exclude the source doc itself.
-        Term selection: tf * idf desc, term asc, top max_terms."""
+        Term selection: tf * idf desc, term asc, top max_terms.
+
+        term_vectors: a (materialized) index.term_vectors() frame — the
+        forward-index fast path: the source doc's terms come from ONE row
+        lookup instead of a posting-table scan (which on the segmented
+        path would decode every blob of the field)."""
         field = field or self.index.fields[0]
         n = self.index.n_docs
-        doc_terms = (
-            self._postings_nopos
-            .where((F.col("field") == field) & (F.col("doc_id") == doc_id))
-            .select("term", "tf").collect()
-        )
+        if term_vectors is not None:
+            doc_terms = (
+                term_vectors
+                .where((F.col("field") == field)
+                       & (F.col("doc_id") == doc_id))
+                .select(F.explode("vec").alias("tv"))
+                .select(F.col("tv.term").alias("term"),
+                        F.col("tv.tf").alias("tf"))
+                .collect()
+            )
+        else:
+            doc_terms = (
+                self._postings_nopos
+                .where((F.col("field") == field)
+                       & (F.col("doc_id") == doc_id))
+                .select("term", "tf").collect()
+            )
         if not doc_terms:
             return self._empty_frame()
         dfs = self._term_df_map([(field, r["term"]) for r in doc_terms])
@@ -297,7 +322,7 @@ class Searcher:
         p = self._postings_nopos.where(
             (F.col("field") == q.field) & (F.col("term") == q.term)
         ).join(F.broadcast(stats), ["field", "term"])
-        score = bm25.term_score(
+        score = self.sim.term_score(
             F.col("tf"), F.col("dl"), F.col("df"),
             self.index.n_docs, self.index.avgdl, q.boost,
         )
@@ -376,7 +401,8 @@ class Searcher:
         dfm = self._term_df_map([(f, t) for f, t, _ in pairs])
         if any(dfm[(f, t)] == 0 for f, t, _ in pairs):
             return self._empty_frame()
-        idf_sum = sum(_idf(dfm[(f, t)], self.index.n_docs) for f, t, _ in pairs)
+        idf_sum = sum(self.sim.idf(dfm[(f, t)], self.index.n_docs)
+                      for f, t, _ in pairs)
 
         offdf = self.spark.createDataFrame(
             pairs, "field string, term string, qoff int"
@@ -442,11 +468,8 @@ class Searcher:
                 lambda acc, p: acc + fold(1, p, p))
         scored = per_doc.select(
             "doc_id",
-            (
-                F.lit(float(q.boost))
-                * F.lit(idf_sum)
-                * bm25.tf_norm(freq, F.col("dl"), self.index.avgdl)
-            ).alias("score"),
+            self.sim.freq_score(freq, F.col("dl"), idf_sum,
+                                self.index.avgdl, q.boost).alias("score"),
             freq.alias("freq"),
         ).where(F.col("freq") > 0)
         return scored.select("doc_id", "score")
@@ -465,7 +488,7 @@ class Searcher:
         for alts, o in zip(q.terms_at, offsets):
             if all(dfm[(q.field, t)] == 0 for t in alts):
                 return self._empty_frame()
-        idf_sum = sum(_idf(dfm[(f, t)], self.index.n_docs)
+        idf_sum = sum(self.sim.idf(dfm[(f, t)], self.index.n_docs)
                       for f, t, _ in pairs if dfm[(f, t)] > 0)
 
         offdf = self.spark.createDataFrame(
@@ -501,9 +524,8 @@ class Searcher:
         freq = F.size(inter).cast("double")
         scored = per_doc.select(
             "doc_id",
-            (F.lit(float(q.boost)) * F.lit(idf_sum)
-             * bm25.tf_norm(freq, F.col("dl"), self.index.avgdl))
-            .alias("score"),
+            self.sim.freq_score(freq, F.col("dl"), idf_sum,
+                                self.index.avgdl, q.boost).alias("score"),
             freq.alias("freq"),
         ).where(F.col("freq") > 0)
         return scored.select("doc_id", "score")
@@ -617,7 +639,7 @@ class Searcher:
             .select("field", "term", "df", tboost.alias("tboost"))
         )
         p = self.index.postings_for_terms(cand)
-        score = bm25.term_score(
+        score = self.sim.term_score(
             F.col("tf"), F.col("dl"), F.col("df"),
             self.index.n_docs, self.index.avgdl, F.col("tboost"),
         )
@@ -690,7 +712,7 @@ class Searcher:
         idf sums over the leaf terms (SpanWeight.ExtractTerms)."""
         leaves = ast.span_leaves(q)
         dfm = self._term_df_map([(t.field, t.term) for t in leaves])
-        idf_sum = sum(_idf(dfm[(t.field, t.term)], self.index.n_docs)
+        idf_sum = sum(self.sim.idf(dfm[(t.field, t.term)], self.index.n_docs)
                       for t in leaves if dfm[(t.field, t.term)] > 0)
         if idf_sum == 0.0:
             return self._empty_frame()
@@ -698,9 +720,8 @@ class Searcher:
         contrib = 1.0 / (1.0 + (F.col("e") - F.col("s")).cast("double"))
         per_doc = (spans.groupBy("doc_id", "dl")
                    .agg(F.sum(contrib).alias("freq")))
-        score = (F.lit(float(q.boost)) * F.lit(idf_sum)
-                 * bm25.tf_norm(F.col("freq"), F.col("dl"),
-                                self.index.avgdl))
+        score = self.sim.freq_score(F.col("freq"), F.col("dl"), idf_sum,
+                                    self.index.avgdl, q.boost)
         return per_doc.select("doc_id", score.alias("score"))
 
     # ---- function queries (score from field values)

@@ -382,3 +382,33 @@ def test_wand_applies_tombstones(spark, corpus):
                                       for t, _ in terms)), 10).collect()]
     assert got == want
     assert not set(top[:3]) & {d for d, _ in got}
+
+
+def test_wave_retention_policy(spark, corpus, tmp_path):
+    """retain_waves keeps only the last N committed wave dirs, and resume
+    still works from the newest one (KeepOnlyLastCommitDeletionPolicy
+    generalized; SnapshotDeletionPolicy = retain_waves=None)."""
+    import glob
+    import os
+
+    from lucenenet_spark.index.segments import build_segmented_index
+
+    ck = str(tmp_path / "ckpt")
+    a = build_segmented_index(spark, corpus, text_col="content",
+                              lang_col="lang", fan_in=3, checkpoint_dir=ck,
+                              retain_waves=2)
+    dirs = sorted(os.path.basename(d)
+                  for d in glob.glob(os.path.join(ck, "wave_*")))
+    assert len(dirs) == 2  # waves 0..2 existed; only the last 2 survive
+    assert dirs[-1] > dirs[0]
+    rows_a = sorted(
+        (r["field"], r["term"], r["seg_id"], bytes(r["docs_blob"]).hex())
+        for r in a.segments.collect())
+    # resume with the oldest wave expired: jumps to the newest commit
+    b = build_segmented_index(spark, corpus, text_col="content",
+                              lang_col="lang", fan_in=3, checkpoint_dir=ck,
+                              retain_waves=2)
+    rows_b = sorted(
+        (r["field"], r["term"], r["seg_id"], bytes(r["docs_blob"]).hex())
+        for r in b.segments.collect())
+    assert rows_a == rows_b
