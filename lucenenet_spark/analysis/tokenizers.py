@@ -97,6 +97,33 @@ def tokenize_code(text: str) -> list[tuple[str, int]]:
     return out
 
 
+_WS_RE = re.compile(r"\S+")
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def tokenize_whitespace(text: str) -> list[tuple[str, int]]:
+    """WhitespaceTokenizer (src/Lucene.Net/Analysis/WhitespaceTokenizer.cs):
+    maximal non-whitespace runs, case preserved, no filtering."""
+    if text is None:
+        return []
+    return [(t, i) for i, t in enumerate(_WS_RE.findall(text))]
+
+
+def tokenize_letter(text: str) -> list[tuple[str, int]]:
+    """LetterTokenizer (CharTokenizer on IsLetter,
+    src/Lucene.Net/Analysis/LetterTokenizer.cs): maximal letter runs,
+    case preserved."""
+    if text is None:
+        return []
+    return [(t, i) for i, t in enumerate(_LETTER_RE.findall(text))]
+
+
+def tokenize_lowercase(text: str) -> list[tuple[str, int]]:
+    """LowerCaseTokenizer = LetterTokenizer + LowerCaseFilter
+    (src/Lucene.Net/Analysis/LowerCaseTokenizer.cs)."""
+    return [(t.lower(), p) for t, p in tokenize_letter(text)]
+
+
 def tokenize(text: str, lang: str | None = None) -> list[tuple[str, int]]:
     """Analyzer dispatch keyed on lang (PerFieldAnalyzerWrapper analogue)."""
     if lang is not None and lang.lower() in CODE_LANGS:

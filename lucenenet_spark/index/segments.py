@@ -64,7 +64,8 @@ MERGE_FACTOR = 10  # LogMergePolicy.cs:56
 
 def _invert_partition(field_name: str, id_col: str, text_col: str,
                       lang_col: str | None, positions: bool,
-                      keyword: bool = False, fold: bool = False):
+                      keyword: bool = False, fold: bool = False,
+                      analyzer=None):
     """mapInPandas kernel: one segment per input partition.
 
     Vectorized invert: tokenization is the only per-doc Python; everything
@@ -98,7 +99,8 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
                     if fold and text is not None:
                         from ..analysis.folding import fold_ascii_py
                         text = fold_ascii_py(text)
-                    toks = tokenize(text, lg)
+                    toks = (analyzer(text) if analyzer is not None
+                            else tokenize(text, lg))
                 n = len(toks)
                 if n == 0:
                     continue
@@ -202,7 +204,8 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     out-of-order NRT segment sets) fall back to a full decode-merge via
     codec.merge_postings — correctness never depends on the fast path.
     """
-    pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+    parts = list(batches)  # an empty shuffle partition yields NO batches
+    pdf = pd.concat(parts, ignore_index=True) if parts else None
     if pdf is None or len(pdf) == 0:
         yield pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA])
         return
@@ -420,11 +423,15 @@ class SegmentedIndex:
         )
 
     def term_stats(self) -> DataFrame:
-        """Term dictionary straight from segment rows — no decode needed."""
+        """Term dictionary straight from segment rows — no decode needed.
+        Cached: vocabulary-scale rows, re-read by every multi-term
+        expansion (the .tii + DoubleBarrelLRUCache analogue,
+        TermInfosReader.cs:290-296)."""
         if self._term_stats is None:
             self._term_stats = (
                 self.segments.groupBy("field", "term")
                 .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+                .cache()
             )
         return self._term_stats
 
@@ -556,6 +563,7 @@ def build_segmented_index(
     keyword_cols: dict[str, str] | None = None,
     retain_waves: int | None = 2,
     fold_ascii: bool = False,
+    analyzer=None,
 ) -> SegmentedIndex:
     """docs -> per-partition segments -> merge wave(s).
 
@@ -595,9 +603,12 @@ def build_segmented_index(
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartitionByRange(par, id_col)
 
+    # analyzer: a callable text -> [(term, pos)] overriding the standard
+    # chain (the Analyzer extension point, SURVEY §2.12 — Whitespace /
+    # Letter / LowerCase tokenizers in analysis.tokenizers plug in here).
     seg = docs.select(*cols).mapInPandas(
         _invert_partition(field_name, id_col, text_col, lang_col, positions,
-                          fold=fold_ascii),
+                          fold=fold_ascii, analyzer=analyzer),
         SEGMENT_SCHEMA,
     )
     for kfld, ksrc in (keyword_cols or {}).items():
@@ -757,6 +768,38 @@ def _expire_waves(ckpt: str, current: int, retain: int | None) -> None:
             continue
         if idx < cutoff:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def add_indexes(base: SegmentedIndex, *others: SegmentedIndex) -> SegmentedIndex:
+    """AddIndexesNoOptimize analogue (src/Lucene.Net/Index/
+    IndexWriter.cs:3586): bulk merge-in of foreign indexes — segment rows
+    union with seg_id rebasing and stats summed.  doc_ids must already be
+    globally disjoint (the reference rebases docIDs through docMap; here
+    doc_id IS the global id, so callers ship disjoint ranges — asserted
+    cheaply via max/min).  True to the 'NoOptimize' contract no merging
+    happens; run a merge wave afterwards to compact."""
+    seg = base.segments
+    stored = base.stored
+    tomb = base.tombstones
+    n_docs, total = base.stats.n_docs, base.stats.total_tokens
+    offset = int(seg.agg(F.max("seg_id")).collect()[0][0] or 0) + 1
+    for o in others:
+        if tuple(o.fields) != tuple(base.fields):
+            raise ValueError(f"field mismatch: {o.fields} != {base.fields}")
+        seg = seg.unionByName(o.segments.withColumn(
+            "seg_id", F.col("seg_id") + F.lit(offset)))
+        offset += int(o.segments.agg(F.max("seg_id")).collect()[0][0] or 0) + 1
+        if stored is not None and o.stored is not None:
+            stored = stored.unionByName(o.stored.select(*stored.columns))
+        if o.tombstones is not None:
+            tomb = (o.tombstones if tomb is None
+                    else tomb.unionByName(o.tombstones).distinct())
+        n_docs += o.stats.n_docs
+        total += o.stats.total_tokens
+    from dataclasses import replace
+    return replace(base, segments=seg, stored=stored, tombstones=tomb,
+                   stats=IndexStats(n_docs=n_docs, total_tokens=total),
+                   _postings=None, _postings_nopos=None, _term_stats=None)
 
 
 def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:

@@ -153,7 +153,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 2, threshold: float = 0.9,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = None,
+                      broadcast_verify: bool = False,
+                      reuse_cache: bool = False) -> DataFrame:
     """MinHash + LSH banding: candidates = pairs sharing >=1 band bucket,
     then verified with EXACT token-set Jaccard >= threshold.
 
@@ -168,7 +170,20 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     degenerate buckets (the stop-shingle analogue — a bucket holding a
     measurable fraction of the corpus carries no near-dup signal at 100TB;
     cut pairs are recorded nowhere, which trades recall for survival
-    exactly like max_shingle_df)."""
+    exactly like max_shingle_df).
+
+    Physical notes (measured at sf0.1, 5k docs -> 7.7M candidates):
+    - the candidate .distinct() is kept deliberately: besides dedup it is
+      the shuffle that REBALANCES the band-join output — dropping it (a
+      first-matching-band filter makes it semantically removable) lands
+      every hot bucket's pairs on one task (measured 5x slower).
+    - reuse_cache persists the banded keys + token-array frames that feed
+      both sides of the self-joins (Catalyst does not reuse the exchange
+      across aliased branches); broadcast_verify ships the token-array
+      table to executors so the candidate stream never reshuffles.  Both
+      default OFF: at sandbox scale they measure inside the noise, and at
+      100 TB the right variants are a persisted signature table and a
+      bucketed shuffle join respectively — flip them per deployment."""
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
     banded = sigs.select(
@@ -182,6 +197,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("band", "bkey"),
     )
+    if reuse_cache:
+        banded = banded.cache()
     if max_bucket_size is not None:
         hot = (
             banded.groupBy("band", "bkey")
@@ -207,8 +224,12 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.array_sort(F.array_distinct(_tok_array(text_col))).alias("ta"),
     )
+    if reuse_cache:
+        tokarr = tokarr.cache()
     pa = tokarr.select(F.col("doc_id").alias("doc_a"), F.col("ta").alias("arr_a"))
     pb = tokarr.select(F.col("doc_id").alias("doc_b"), F.col("ta").alias("arr_b"))
+    if broadcast_verify:
+        pa, pb = F.broadcast(pa), F.broadcast(pb)
     inter = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast("double")
     union = (F.size("arr_a") + F.size("arr_b")).cast("double") - inter
     return (

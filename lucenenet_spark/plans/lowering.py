@@ -71,6 +71,7 @@ class Searcher:
         self.index = index
         self.spark = index.spark
         self.sim = similarity if similarity is not None else BM25Similarity()
+        self._filter_cache: dict = {}
 
     @property
     def _postings_nopos(self) -> DataFrame:
@@ -91,16 +92,34 @@ class Searcher:
             return frame
         return frame.join(t, "doc_id", "left_anti")
 
-    def search(self, q: ast.Query, k: int = 10) -> DataFrame:
+    def search(self, q: ast.Query, k: int = 10,
+               positive_only: bool = False) -> DataFrame:
         """TopDocs analogue: (doc_id, score) rows, score desc, ties by
-        ascending doc_id (HitQueue.cs:87-93)."""
+        ascending doc_id (HitQueue.cs:87-93).  positive_only drops
+        score <= 0 hits (PositiveScoresOnlyCollector,
+        src/Lucene.Net/Search/PositiveScoresOnlyCollector.cs)."""
         frame = self._live(self.score_frame(ast.rewrite(q)))
         s = bm25.rounded(F.col("score"))
+        out = frame.select(F.col("doc_id"), s.alias("score"))
+        if positive_only:
+            out = out.where(F.col("score") > 0)
         return (
-            frame.select(F.col("doc_id"), s.alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
+
+    def cached_filter(self, q: ast.Query) -> DataFrame:
+        """CachingWrapperFilter analogue (src/Lucene.Net/Search/
+        CachingWrapperFilter.cs): the filter's doc-id set is computed
+        once per Searcher, cached (Spark block cache), and reused by
+        every later query that wraps the same filter — keyed on the
+        (frozen dataclass) query value."""
+        key = q
+        hit = self._filter_cache.get(key)
+        if hit is None:
+            hit = self.match_frame(ast.rewrite(q)).cache()
+            self._filter_cache[key] = hit
+        return hit
 
     def count(self, q: ast.Query) -> int:
         """totalHits analogue."""
