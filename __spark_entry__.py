@@ -70,6 +70,17 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
 _PARSER = QueryParser(default_field="text", keyword_fields={"source"})
 
 
+def _parsed_multifield(text: str, k: int = 10):
+    """MultiFieldQueryParser: unqualified clauses expand across
+    (text, source) — QueryParser/MultiFieldQueryParser.cs analogue."""
+    from lucenenet_spark.queryparser.parser import MultiFieldQueryParser
+    mp = MultiFieldQueryParser(["text", "source"], keyword_fields={"source"})
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _searcher(spark, sf_dir).search(mp.parse(text), k)
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boolean BM25 top-10 on sf0.001."""
     return queries()["ft_bool_and"](spark, "/root/testdata/sf0.001")
@@ -142,6 +153,13 @@ def _ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ann.cosine_topk(emb, [float(x) for x in qv], k=K, exclude_id=0)
+
+
+def _dd_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: all pairs above threshold.  Sandbox uses
+    the exact O(n^2) scan; the scale path is rp_bucket_table-bucketed
+    candidates first (operators/ann.py) — same verify kernel."""
+    return ann.cosine_pairs(_emb(spark, sf_dir), threshold=0.8)
 
 
 def _ann_lsh(spark, sf_dir):
@@ -332,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qp_bool": _parsed("+table batch -vector"),
         "qp_phrase": _parsed('"spark merge"~3'),
         "qp_nested": _parsed("spark AND (merge OR batch)"),
+        "qp_multifield": _parsed_multifield("spark src0"),
         # --- compressed segments + block-max WAND (SURVEY.md §2.3/§4.2) ---
         "ft_wand": _ft_wand,
         "ft_seg_term": _ft_seg_term,
@@ -344,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh": _dd_minhash,
         "dd_simhash": _dd_simhash,
         "dd_simhash_pairs": _dd_simhash_pairs,
+        "dd_embed_cosine": _dd_embed_cosine,
         "ann_cosine_topk": _ann_cosine,
         "ann_lsh_topk": _ann_lsh,
         "txt_stats": _txt_stats,
@@ -422,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
             must=[("spark", 1.0)], should=[("merge", 1.0), ("batch", 1.0)],
             min_should_match=1, k=K,
         ),
+        "qp_multifield": g.multifield_parse(["spark", "src0"], "source", K),
         "ft_wand": g.bool_query(
             should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K
         ),
@@ -434,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_lsh": g.minhash_lsh_pairs(16, 2, 0.9),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
+        "dd_embed_cosine": g.cosine_pairs(0.8),
         "ann_cosine_topk": g.cosine_topk(0, K),
         # deterministic md5 hyperplanes + left-fold dots => EXACT oracle
         "ann_lsh_topk": g.rp_lsh_topk(0, K, tables=4, planes=8, dim=64),

@@ -639,6 +639,30 @@ SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
 {_topk(k)}"""
 
 
+def multifield_parse(terms: list[str], kw_col: str, k: int = 10,
+                     table: str = "documents") -> str:
+    """MultiFieldQueryParser expansion: each unqualified term searches the
+    text field AND the keyword field; clause scores sum per doc (the
+    SHOULD-combined BooleanQuery the parser builds).  Keyword occurrences
+    score with tf=1, dl=1 against the shared text avgdl."""
+    inl = ",".join(f"'{t}'" for t in terms)
+    return f"""WITH {base_ctes(table)},
+kwdf AS (SELECT {kw_col} AS term, count(*) AS df FROM {table} GROUP BY {kw_col}),
+sc AS (
+  SELECT p.doc_id, {_bm25()} AS s
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term IN ({inl})
+  UNION ALL
+  SELECT d.doc_id,
+         ln(1 + (st.n - kw.df + 0.5)/(kw.df + 0.5)) *
+         (1 * {K1 + 1.0}) / (1 + {K1} * ({1.0 - B} + {B} * 1.0 / st.avgdl)) AS s
+  FROM {table} d JOIN kwdf kw ON d.{kw_col} = kw.term CROSS JOIN st
+  WHERE d.{kw_col} IN ({inl})
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+{_topk(k)}"""
+
+
 # ------------------------------------------------------ pipeline operators
 
 def _raw_tok_cte(table: str = "documents", id_col: str = "doc_id",
@@ -770,6 +794,18 @@ d AS (
 SELECT vec_id, round(dot/(nx*ny), 6) AS cosine FROM d
 WHERE vec_id <> {query_id}
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
+def cosine_pairs(threshold: float = 0.99, table: str = "embeddings") -> str:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= t)."""
+    return f"""WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+  FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}"""
 
 
 def textstats(table: str = "documents") -> str:

@@ -34,7 +34,7 @@ DEFAULT_FILES = 500000  # big enough that per-build fixed costs (driver
 QUERY_REPS = 5
 
 
-def single_run(cpus: int, n_files: int) -> None:
+def single_run(cpus: int, n_files: int, reps: int = 3) -> None:
     from lucenenet_spark.index.segments import build_segmented_index
     from lucenenet_spark.index.wand import wand_topk
     from lucenenet_spark.plans import ast
@@ -52,11 +52,12 @@ def single_run(cpus: int, n_files: int) -> None:
     ).cache()
     corpus.count()  # materialize the (serial) generator outside the window
 
-    # best-of-3: the sandbox shares CPU, so single runs are noisy; min
-    # approximates uncontended capability at each parallelism level
+    # best-of-N: the sandbox shares CPU with a bursty co-tenant (observed
+    # 0->30 loadavg swings), so single runs are noisy; min approximates
+    # uncontended capability at each parallelism level
     build_times = []
     seg = None
-    for _ in range(3):
+    for _ in range(reps):
         if seg is not None:
             seg.segments.unpersist()
         t0 = time.time()
@@ -99,9 +100,30 @@ def single_run(cpus: int, n_files: int) -> None:
     }))
 
 
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _wait_quiet(max_load: float = 2.0, timeout_sec: float = 1200.0) -> float:
+    """Block until the box's 1-min loadavg drops below max_load (or the
+    timeout passes).  This sandbox shares hardware with bursty co-tenant
+    load (observed 0 -> 30 loadavg swings with zero own processes); a
+    level measured through such a burst times the neighbor, not the
+    engine.  The pre-level loadavg is recorded in the output either way."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_sec:
+        load = _loadavg1()
+        if load < max_load:
+            return load
+        time.sleep(15)
+    return _loadavg1()
+
+
 def driver(n_files: int) -> None:
     results = {}
     for cpus in (2, 8, 32):
+        load_before = _wait_quiet()
         # taskset pins the WHOLE process tree (JVM GC/JIT threads, Python
         # workers) to exactly `cpus` cores — local[N] alone only limits
         # task slots, letting helper threads borrow idle silicon and
@@ -115,8 +137,11 @@ def driver(n_files: int) -> None:
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
+        results[cpus]["loadavg_before"] = load_before
+        results[cpus]["loadavg_after"] = _loadavg1()
         print(f"local[{cpus}]: {results[cpus]['files_per_sec']} files/sec "
-              f"(build {results[cpus]['build_sec']}s)")
+              f"(build {results[cpus]['build_sec']}s, "
+              f"load {load_before:.1f}->{results[cpus]['loadavg_after']:.1f})")
 
     t2, t8, t32 = (results[c]["files_per_sec"] for c in (2, 8, 32))
     eff_2_8 = (t8 / t2) / 4.0
@@ -146,8 +171,9 @@ if __name__ == "__main__":
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--files", type=int, default=DEFAULT_FILES)
+    ap.add_argument("--reps", type=int, default=3)
     a = ap.parse_args()
     if a.run:
-        single_run(a.cpus, a.files)
+        single_run(a.cpus, a.files, a.reps)
     else:
         driver(a.files)
