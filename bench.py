@@ -68,6 +68,10 @@ def main() -> None:
     from lucenenet_spark.index.segments import build_segmented_index
     from lucenenet_spark.sources.corpus import corpus_df, with_doc_ids
 
+    # partitions = cpus (~625 docs each at sf0.1): at this corpus size
+    # per-task overhead beats straggler insurance.  At 500k+ files the
+    # sweet spot moves to ~4 tasks/core (see BENCH/BASELINE.md, task
+    # granularity A/B) — granularity is a per-job knob, as on a cluster.
     n_files = int(20000 * sf / 0.1)
     corpus = with_doc_ids(
         corpus_df(spark, n_files, partitions=cpus), ("repo", "path")
