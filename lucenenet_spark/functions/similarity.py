@@ -40,14 +40,19 @@ class BM25Similarity:
     def idf(self, df: int, n: int) -> float:
         return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
+    def idf_col(self, df_col: Column, n: int) -> Column:
+        return bm25.idf(df_col, float(n))
+
     def term_score(self, tf_col: Column, dl_col: Column, df_col: Column,
                    n: float, avgdl: float,
                    boost: Column | float = 1.0) -> Column:
         return bm25.term_score(tf_col, dl_col, df_col, n, avgdl, boost)
 
-    def freq_score(self, freq_col: Column, dl_col: Column, idf_sum: float,
-                   avgdl: float, boost: float = 1.0) -> Column:
-        return (F.lit(float(boost)) * F.lit(idf_sum)
+    def freq_score(self, freq_col: Column, dl_col: Column,
+                   idf_sum: Column | float, avgdl: float,
+                   boost: float = 1.0) -> Column:
+        i = idf_sum if isinstance(idf_sum, Column) else F.lit(float(idf_sum))
+        return (F.lit(float(boost)) * i
                 * bm25.tf_norm(freq_col, dl_col, avgdl))
 
 
@@ -57,6 +62,10 @@ class ClassicSimilarity:
 
     def idf(self, df: int, n: int) -> float:
         return math.log(n / (df + 1.0)) + 1.0
+
+    def idf_col(self, df_col: Column, n: int) -> Column:
+        return (F.log(F.lit(float(n)) / (df_col.cast("double") + F.lit(1.0)))
+                + F.lit(1.0))
 
     def term_score(self, tf_col: Column, dl_col: Column, df_col: Column,
                    n: float, avgdl: float,
@@ -69,11 +78,13 @@ class ClassicSimilarity:
             return s * boost
         return s * F.lit(float(boost)) if boost != 1.0 else s
 
-    def freq_score(self, freq_col: Column, dl_col: Column, idf_sum: float,
-                   avgdl: float, boost: float = 1.0) -> Column:
+    def freq_score(self, freq_col: Column, dl_col: Column,
+                   idf_sum: Column | float, avgdl: float,
+                   boost: float = 1.0) -> Column:
         # phrase weight assembly: (sum of idfs)^2 * sqrt(freq) * norm
         # (PhraseWeight mirrors TermWeight's queryWeight*value = idf^2)
-        return (F.lit(float(boost)) * F.lit(idf_sum * idf_sum)
+        i = idf_sum if isinstance(idf_sum, Column) else F.lit(float(idf_sum))
+        return (F.lit(float(boost)) * i * i
                 * F.sqrt(freq_col.cast("double"))
                 / F.sqrt(dl_col.cast("double")))
 

@@ -414,18 +414,31 @@ class Searcher:
 
     # ---- phrase
 
+    def _query_stats(self, offdf: DataFrame, field: str,
+                     terms: set[str]) -> DataFrame:
+        """One-row broadcastable frame (idf_sum, n_present) for a query's
+        (field, term, qoff) rows — the CachedDfSource lookup folded
+        IN-PLAN: no driver round-trip per query (the stats subquery rides
+        inside the search job; MultiSearcher.cs:87-118 semantics, df from
+        the term-dictionary metadata only)."""
+        stats = (self.index.term_stats()
+                 .where((F.col("field") == field)
+                        & F.col("term").isin(sorted(terms)))
+                 .select("field", "term", "df"))
+        return (offdf.join(stats, ["field", "term"])
+                .agg(F.sum(self.sim.idf_col(F.col("df"),
+                                            self.index.n_docs))
+                     .alias("idf_sum"),
+                     F.countDistinct("qoff").alias("n_present")))
+
     def _phrase_frame(self, q: ast.Phrase) -> DataFrame:
         offsets = q.resolved_offsets()
         pairs = [(q.field, t, int(o)) for t, o in zip(q.terms, offsets)]
-        dfm = self._term_df_map([(f, t) for f, t, _ in pairs])
-        if any(dfm[(f, t)] == 0 for f, t, _ in pairs):
-            return self._empty_frame()
-        idf_sum = sum(self.sim.idf(dfm[(f, t)], self.index.n_docs)
-                      for f, t, _ in pairs)
 
         offdf = self.spark.createDataFrame(
             pairs, "field string, term string, qoff int"
         )
+        qstats = self._query_stats(offdf, q.field, {t for _, t, _ in pairs})
         # Static (field, term IN ...) predicate FIRST so Catalyst pushes it
         # below the segmented view's decode UDF + explode (term-dictionary
         # seek: only the query terms' blobs decompress); the broadcast join
@@ -485,12 +498,14 @@ class Searcher:
             freq = F.aggregate(
                 arrays[0], F.lit(0.0),
                 lambda acc, p: acc + fold(1, p, p))
-        scored = per_doc.select(
+        scored = per_doc.crossJoin(F.broadcast(qstats)).select(
             "doc_id",
-            self.sim.freq_score(freq, F.col("dl"), idf_sum,
+            self.sim.freq_score(freq, F.col("dl"), F.col("idf_sum"),
                                 self.index.avgdl, q.boost).alias("score"),
             freq.alias("freq"),
-        ).where(F.col("freq") > 0)
+            "n_present",
+        ).where((F.col("freq") > 0)
+                & (F.col("n_present") == len(offsets)))
         return scored.select("doc_id", "score")
 
     def _multiphrase_frame(self, q: ast.MultiPhrase) -> DataFrame:
@@ -502,16 +517,13 @@ class Searcher:
         offsets = q.resolved_offsets()
         pairs = [(q.field, t, int(o))
                  for alts, o in zip(q.terms_at, offsets) for t in alts]
-        dfm = self._term_df_map([(f, t) for f, t, _ in pairs])
-        # every position needs at least one alternative present in the index
-        for alts, o in zip(q.terms_at, offsets):
-            if all(dfm[(q.field, t)] == 0 for t in alts):
-                return self._empty_frame()
-        idf_sum = sum(self.sim.idf(dfm[(f, t)], self.index.n_docs)
-                      for f, t, _ in pairs if dfm[(f, t)] > 0)
 
         offdf = self.spark.createDataFrame(
             pairs, "field string, term string, qoff int")
+        # idf sums over the PRESENT alternative terms; n_present counts
+        # positions with >=1 present alternative (MultiPhraseWeight) —
+        # in-plan, no driver round-trip
+        qstats = self._query_stats(offdf, q.field, {t for _, t, _ in pairs})
         p = (
             self.index.postings
             .where((F.col("field") == q.field)
@@ -541,12 +553,14 @@ class Searcher:
             lambda acc, xs: F.array_intersect(acc, xs),
         )
         freq = F.size(inter).cast("double")
-        scored = per_doc.select(
+        scored = per_doc.crossJoin(F.broadcast(qstats)).select(
             "doc_id",
-            self.sim.freq_score(freq, F.col("dl"), idf_sum,
+            self.sim.freq_score(freq, F.col("dl"), F.col("idf_sum"),
                                 self.index.avgdl, q.boost).alias("score"),
             freq.alias("freq"),
-        ).where(F.col("freq") > 0)
+            "n_present",
+        ).where((F.col("freq") > 0)
+                & (F.col("n_present") == len(offsets)))
         return scored.select("doc_id", "score")
 
     def _numeric_range_frame(self, q: ast.NumericRange) -> DataFrame:
@@ -730,18 +744,21 @@ class Searcher:
         (sloppyFreq of the span width, SpanScorer.cs SetFreqCurrentDoc);
         idf sums over the leaf terms (SpanWeight.ExtractTerms)."""
         leaves = ast.span_leaves(q)
-        dfm = self._term_df_map([(t.field, t.term) for t in leaves])
-        idf_sum = sum(self.sim.idf(dfm[(t.field, t.term)], self.index.n_docs)
-                      for t in leaves if dfm[(t.field, t.term)] > 0)
-        if idf_sum == 0.0:
-            return self._empty_frame()
+        leafdf = self.spark.createDataFrame(
+            [(t.field, t.term, i) for i, t in enumerate(leaves)],
+            "field string, term string, qoff int")
+        field = leaves[0].field
+        qstats = self._query_stats(leafdf, field,
+                                   {t.term for t in leaves})
         spans = self._spans(q)
         contrib = 1.0 / (1.0 + (F.col("e") - F.col("s")).cast("double"))
         per_doc = (spans.groupBy("doc_id", "dl")
                    .agg(F.sum(contrib).alias("freq")))
-        score = self.sim.freq_score(F.col("freq"), F.col("dl"), idf_sum,
-                                    self.index.avgdl, q.boost)
-        return per_doc.select("doc_id", score.alias("score"))
+        score = self.sim.freq_score(F.col("freq"), F.col("dl"),
+                                    F.col("idf_sum"), self.index.avgdl,
+                                    q.boost)
+        return (per_doc.crossJoin(F.broadcast(qstats))
+                .select("doc_id", score.alias("score")))
 
     # ---- function queries (score from field values)
 
