@@ -67,6 +67,33 @@ def _searcher(spark: SparkSession, sf_dir: str) -> Searcher:
     return s
 
 
+_LANG_CACHE: dict[str, tuple] = {}
+
+
+def _lang_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index built WITH per-lang analyzer dispatch (PerFieldAnalyzerWrapper
+    analogue keyed on the lang column, analysis/tokenizers.tokenize):
+    natural-language rows route to the standard chain, code-language rows
+    to the camel/snake-splitting code tokenizer.  The testdata langs are
+    all natural, so the DuckDB oracle's standard tokenization stays exact
+    — the contract verifies the dispatch PLUMBING end-to-end (the code
+    branch is exercised by the pytest corpus, which has code langs)."""
+    hit = _LANG_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    idx = build_segmented_index(
+        spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        field_name="text", lang_col="lang",
+    )
+    s = Searcher(idx)
+    _LANG_CACHE[sf_dir] = (spark, s)
+    return s
+
+
+def _ft_lang_term(spark, sf_dir):
+    return _lang_searcher(spark, sf_dir).search(ast.Term("merge"), K)
+
+
 _PARSER = QueryParser(default_field="text", keyword_fields={"source"})
 
 
@@ -280,6 +307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- full-text core (SURVEY.md §2.4-2.8) ---
         "ft_term": _search(ast.Term("spark")),
         "ft_term_rare": _search(ast.Term("dup")),
+        "ft_lang_term": _ft_lang_term,
         "ft_bool_and": _search(ast.Bool(must=(ast.Term("spark"), ast.Term("merge")))),
         "ft_bool_or": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
@@ -379,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ft_term": g.term_query("spark", K),
         "ft_term_rare": g.term_query("dup", K),
+        "ft_lang_term": g.term_query("merge", K),
         "ft_bool_and": g.bool_query(must=[("spark", 1.0), ("merge", 1.0)], k=K),
         "ft_bool_or": g.bool_query(
             should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K
