@@ -58,6 +58,10 @@ def wildcard_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+class TimeExceededError(RuntimeError):
+    """TimeLimitingCollector.TimeExceededException analogue."""
+
+
 class Searcher:
     """IndexSearcher analogue over an InvertedIndex
     (src/Lucene.Net/Search/IndexSearcher.cs)."""
@@ -107,6 +111,45 @@ class Searcher:
             out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
+
+    def search_with_timeout(self, q: ast.Query, k: int = 10,
+                            timeout_sec: float = 30.0) -> list:
+        """TimeLimitingCollector analogue (src/Lucene.Net/Search/
+        TimeLimitingCollector.cs): abort the search when the time budget
+        expires.  Set-oriented equivalent: the collection runs as a Spark
+        job group on a helper thread and is CANCELLED at the deadline
+        (job groups are thread-local, so only this search's jobs die);
+        like the reference's default (greedy=false) no partial result is
+        returned — TimeExceededError is raised."""
+        import threading
+        import uuid
+
+        group = f"tlc-{uuid.uuid4().hex[:8]}"
+        sc = self.spark.sparkContext
+        box: dict = {}
+
+        def run():
+            sc.setJobGroup(group, "time-limited search",
+                           interruptOnCancel=True)
+            try:
+                box["rows"] = self.search(q, k).collect()
+            except Exception as e:  # cancellation surfaces as a Py4J error
+                box["err"] = e
+            finally:
+                sc.setJobGroup(None, None)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout_sec)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(30.0)
+            raise TimeExceededError(
+                f"search exceeded {timeout_sec}s (job group {group} "
+                f"cancelled)")
+        if "err" in box:
+            raise box["err"]
+        return box["rows"]
 
     def cached_filter(self, q: ast.Query) -> DataFrame:
         """CachingWrapperFilter analogue (src/Lucene.Net/Search/

@@ -86,3 +86,52 @@ def test_add_indexes_no_optimize(spark):
         assert x == y, q
     # seg_ids were rebased: no collision between the two source indexes
     assert merged.segments.select("seg_id").distinct().count() >= 2
+
+
+def test_mapping_char_filter():
+    from lucenenet_spark.analysis.charfilter import (
+        MappingCharFilter, mapping_analyzer)
+
+    f = MappingCharFilter({"&": " and ", "ph": "f", "œ": "oe"})
+    assert f("AT&T graphs œuvre") == "AT and T grafs oeuvre"
+    assert f(None) is None
+    # longest match wins over a shorter prefix
+    g = MappingCharFilter({"a": "x", "ab": "y"})
+    assert g("ab a") == "y x"
+    an = mapping_analyzer({"&": " and "})
+    assert an("cats & dogs") == [("cats", 0), ("dogs", 2)]  # 'and' = stopword hole
+
+
+def test_mapping_char_filter_index(spark):
+    from lucenenet_spark.analysis.charfilter import mapping_analyzer
+
+    an = mapping_analyzer({"ph": "f"})
+    docs = spark.createDataFrame(
+        [(0, "the photo graph"), (1, "foto fans")],
+        "doc_id long, text string")
+    idx = build_segmented_index(spark, docs, text_col="text",
+                                field_name="text", analyzer=an)
+    s = Searcher(idx)
+    hits = {r["doc_id"] for r in s.search(ast.Term("foto"), 10).collect()}
+    assert hits == {0, 1}
+
+
+def test_time_limiting_collector(spark):
+    from lucenenet_spark.plans.lowering import TimeExceededError
+    from lucenenet_spark.sources.corpus import corpus_df, with_doc_ids
+
+    docs = with_doc_ids(corpus_df(spark, 400, partitions=4),
+                        ("repo", "path"))
+    idx = build_segmented_index(spark, docs, text_col="content",
+                                field_name="content")
+    s = Searcher(idx)
+    q = ast.Term("index", field="content")
+    # generous budget: identical to the plain collector
+    rows = s.search_with_timeout(q, 10, timeout_sec=120.0)
+    assert [tuple(r) for r in rows] == [
+        tuple(r) for r in s.search(q, 10).collect()]
+    # impossible budget: aborts with the reference's exception analogue
+    with pytest.raises(TimeExceededError):
+        s.search_with_timeout(q, 10, timeout_sec=0.001)
+    # the searcher is still usable after a cancelled group
+    assert len(s.search(q, 10).collect()) == 10
