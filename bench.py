@@ -133,6 +133,8 @@ def main() -> None:
     for name in [
         "ft_term", "ft_bool_and", "ft_bool_or", "ft_phrase",
         "ft_prefix", "ft_fuzzy",
+        # round-2 operator families
+        "ft_span_near", "ft_phrase_slop3", "ft_tfidf_or",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 

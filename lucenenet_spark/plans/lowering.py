@@ -259,18 +259,18 @@ class Searcher:
                  leaf(idf, f"idf(df={df}, N={n})"),
                  leaf(tfn, f"tfNorm(tf={tf}, dl={dl}, avgdl={avgdl:.3f})")])
         if isinstance(q, ast.Bool):
-            details, total = [], 0.0
-            for c in q.must + q.should:
-                e = self._explain(c, doc_id)
-                details.append(e)
-                total += e["value"]
+            # one _explain per clause (memo — each clause's tree may cost
+            # a Spark job; CheckIndex.cs-style debug API, but no need to
+            # pay twice)
+            sub = {c: self._explain(c, doc_id) for c in q.must + q.should}
+            details = list(sub.values())
+            total = sum(e["value"] for e in sub.values())
             for c in q.must:
-                if self._explain(c, doc_id)["value"] == 0.0:
+                if sub[c]["value"] == 0.0:
                     return leaf(0.0, "failure to match required clause",
                                 details)
             matched_should = sum(
-                1 for c in q.should
-                if self._explain(c, doc_id)["value"] > 0.0)
+                1 for c in q.should if sub[c]["value"] > 0.0)
             msm = q.min_should_match
             if q.should and not q.must and msm < 1:
                 msm = 1
