@@ -149,7 +149,10 @@ def main() -> None:
         "files_per_sec": files_per_sec,
         "cpus": cpus,
         "agg": ("index_build + pipeline ops: min-of-2 (shared-box burst "
-                "mitigation); q_*/ft_* latencies: single-shot fresh plan"),
+                "mitigation; NOTE pipeline-op rep 2 reuses the operators' "
+                "own persisted intermediates, so those minima reflect the "
+                "warm steady-state shape, not a cold run); q_*/ft_* "
+                "latencies: single-shot fresh plan"),
     }))
 
 

@@ -466,6 +466,17 @@ class SegmentedIndex:
             self.stored = self.stored.cache()
         return self
 
+    def unpersist_derived(self) -> "SegmentedIndex":
+        """Release the cached term-stats aggregate.  Called by every
+        generation-deriving op (update/add_indexes/expunge) so a
+        long-running driver doesn't leak one cached vocabulary-scale
+        DataFrame per index generation; term_stats() re-caches on demand
+        if this generation is still queried afterwards."""
+        if self._term_stats is not None:
+            self._term_stats.unpersist()
+            self._term_stats = None
+        return self
+
     def n_segments(self) -> int:
         return self.segments.select("seg_id").distinct().count()
 
@@ -737,6 +748,7 @@ def update_documents(
         index.tombstones.unionByName(dead).distinct())
 
     from dataclasses import replace
+    index.unpersist_derived()
     return replace(index, segments=index.segments.unionByName(seg2),
                    stats=stats, stored=stored_new, tombstones=tomb,
                    _postings=None, _postings_nopos=None, _term_stats=None)
@@ -797,6 +809,9 @@ def add_indexes(base: SegmentedIndex, *others: SegmentedIndex) -> SegmentedIndex
         n_docs += o.stats.n_docs
         total += o.stats.total_tokens
     from dataclasses import replace
+    base.unpersist_derived()
+    for o in others:
+        o.unpersist_derived()
     return replace(base, segments=seg, stored=stored, tombstones=tomb,
                    stats=IndexStats(n_docs=n_docs, total_tokens=total),
                    _postings=None, _postings_nopos=None, _term_stats=None)
@@ -869,6 +884,7 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
             index.tombstones.withColumnRenamed("doc_id", index.id_col),
             index.id_col, "left_anti")
     from dataclasses import replace
+    index.unpersist_derived()
     return replace(index, segments=seg2, stats=stats, stored=stored_new,
                    tombstones=None, _postings=None, _postings_nopos=None,
                    _term_stats=None)

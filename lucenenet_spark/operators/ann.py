@@ -108,6 +108,11 @@ def rp_bucket_table(emb: DataFrame, tables: int = 4, planes: int = 8,
     all tables) and the probe below becomes a partition-pruned read."""
     import numpy as np
 
+    if planes > 31:
+        # bucket ids are packed into int32; >31 planes would silently
+        # overflow the shift/cast and diverge from _bucket_of + the oracle
+        raise ValueError(f"planes must be <= 31 (got {planes}); "
+                         "int32 bucket packing")
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     hp = [[_hyperplane(t, p, dim) for p in range(planes)]

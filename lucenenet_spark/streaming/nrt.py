@@ -48,6 +48,13 @@ def index_batch(batch_df: DataFrame, batch_id: int, index_dir: str,
     (re-delivered batches overwrite their own delta and are deduped by
     seg_id range on load — exactly-once effect on the index)."""
     field_name = field_name or text_col
+    target = os.path.join(index_dir, "segments", f"batch_{batch_id:08d}")
+    if os.path.exists(os.path.join(target, "_COMPACT_MANIFEST.json")):
+        # never overwrite a compacted generation (they live in gen_* now,
+        # but refuse loudly if one ever lands in the batch id space)
+        raise RuntimeError(
+            f"batch id {batch_id} would overwrite compacted generation "
+            f"{target}; compaction dirs must not share the stream id space")
     cols = [id_col, text_col] + ([lang_col] if lang_col else [])
     seg = batch_df.select(*cols).mapInPandas(
         _invert_partition(field_name, id_col, text_col, lang_col, positions),
@@ -103,7 +110,8 @@ def _live_batch_dirs(index_dir: str) -> dict[str, str]:
     segroot = os.path.join(index_dir, "segments")
     dirs = {
         os.path.basename(d): d
-        for d in glob.glob(os.path.join(segroot, "batch_*"))
+        for pat in ("batch_*", "gen_*")
+        for d in glob.glob(os.path.join(segroot, pat))
         if os.path.exists(os.path.join(d, "_SUCCESS"))
     }
     superseded: set[str] = set()
@@ -120,17 +128,22 @@ def load_nrt_index(spark: SparkSession, index_dir: str,
     """NRT reader: every live batch's segments + their summed stats
     (stats files of superseded or incomplete batches are ignored)."""
     live = _live_batch_dirs(index_dir)
-    if not live:
+    # a batch whose stats file is missing (crash between the parquet write
+    # and the stats write) is uncommitted: exclude its SEGMENTS too, so the
+    # snapshot is consistent — postings and N/avgdl always cover the same
+    # doc set; the stream re-delivers the batch
+    committed = {
+        n: d for n, d in live.items()
+        if os.path.exists(os.path.join(index_dir, "stats", f"{n}.json"))
+    }
+    if not committed:
         raise FileNotFoundError(f"no committed batches under {index_dir}")
-    seg = spark.read.parquet(*[live[n] for n in sorted(live)])
+    seg = spark.read.parquet(*[committed[n] for n in sorted(committed)])
     n_docs = total = 0
     field = "content"
     id_col = "doc_id"
-    for name in sorted(live):
-        p = os.path.join(index_dir, "stats", f"{name}.json")
-        if not os.path.exists(p):
-            continue  # batch committed mid-crash; the stream re-delivers it
-        with open(p) as f:
+    for name in sorted(committed):
+        with open(os.path.join(index_dir, "stats", f"{name}.json")) as f:
             d = json.load(f)
         n_docs += d["n_docs"]
         total += d["total_tokens"]
@@ -153,7 +166,12 @@ def compact(spark: SparkSession, index_dir: str, fan_in: int = 10,
     leaves a readable index."""
     import shutil
 
-    live = _live_batch_dirs(index_dir)
+    # merge (and later supersede) exactly the set the loader reads: live
+    # dirs WITH a stats file — an uncommitted batch stays on disk untouched
+    live = {
+        n: d for n, d in _live_batch_dirs(index_dir).items()
+        if os.path.exists(os.path.join(index_dir, "stats", f"{n}.json"))
+    }
     idx = load_nrt_index(spark, index_dir)
     # renumber sparse batch-offset seg_ids densely (segment count is tiny,
     # so the single-partition window is driver-scale work, not data-scale)
@@ -168,8 +186,13 @@ def compact(spark: SparkSession, index_dir: str, fan_in: int = 10,
         seg = merge_wave(seg, fan)
         n = (n + fan - 1) // fan
 
-    gen = max(int(name.split("_")[1]) for name in live) + 1
-    gen_name = f"batch_{gen:08d}"
+    # compacted generations live in their own gen_* id space: streaming
+    # batch ids continue monotonically from the checkpoint and can NEVER
+    # claim a gen_* dir, so a resumed stream cannot overwrite a compaction
+    # (the batch_{max+1} scheme was exactly that collision)
+    prior = [int(n.split("_")[1]) for n in live if n.startswith("gen_")]
+    gen = (max(prior) + 1) if prior else 0
+    gen_name = f"gen_{gen:08d}"
     tmp = os.path.join(index_dir, f"_compact_tmp_{gen:08d}")
     seg.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_COMPACT_MANIFEST.json"), "w") as f:

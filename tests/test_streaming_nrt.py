@@ -131,3 +131,61 @@ def test_compact_crash_window_is_readable(spark, corpus_waves, tmp_path):
     a = [tuple(r) for r in Searcher(after).search(q, 10).collect()]
     b = [tuple(r) for r in Searcher(before).search(q, 10).collect()]
     assert a == b
+
+
+def test_stream_resume_after_compact_cannot_clobber_generation(
+        spark, corpus_waves, tmp_path):
+    """Regression (ADVICE r2 high): compaction used to publish as
+    batch_{max_live+1} — exactly the id a resumed stream's next
+    micro-batch claims, and index_batch overwrites its own dir, silently
+    destroying the compacted generation. Generations now live in gen_*;
+    replay that exact sequence and verify nothing is lost."""
+    from lucenenet_spark.index.segments import build_segmented_index
+    from lucenenet_spark.streaming import nrt
+
+    docs, _ = corpus_waves
+    index_dir = str(tmp_path / "nrt_index")
+    waves = [docs.where((docs.doc_id % 3) == i) for i in range(3)]
+
+    nrt.index_batch(waves[0], 0, index_dir, text_col="content",
+                    lang_col="lang")
+    nrt.index_batch(waves[1], 1, index_dir, text_col="content",
+                    lang_col="lang")
+    nrt.compact(spark, index_dir, target_segments=1)
+    # the resumed stream's next batch id is 2 — under the old scheme this
+    # dir name WAS the compacted generation
+    nrt.index_batch(waves[2], 2, index_dir, text_col="content",
+                    lang_col="lang")
+
+    idx = nrt.load_nrt_index(spark, index_dir, stored=docs)
+    batch = build_segmented_index(spark, docs, text_col="content",
+                                  lang_col="lang")
+    assert idx.n_docs == 240
+    assert idx.avgdl == pytest.approx(batch.avgdl)
+    q = ast.Term("index", field="content")
+    a = [tuple(r) for r in Searcher(idx).search(q, 10).collect()]
+    b = [tuple(r) for r in Searcher(batch).search(q, 10).collect()]
+    assert a == b
+
+
+def test_loader_excludes_batch_with_missing_stats(spark, corpus_waves,
+                                                  tmp_path):
+    """Regression (ADVICE r2 medium): a batch whose stats file is missing
+    (crash between parquet write and stats write) must be excluded from
+    the SEGMENT read too — postings and N/avgdl cover the same doc set."""
+    from lucenenet_spark.streaming import nrt
+
+    docs, _ = corpus_waves
+    index_dir = str(tmp_path / "nrt_index")
+    waves = [docs.where((docs.doc_id % 3) == i) for i in range(2)]
+    nrt.index_batch(waves[0], 0, index_dir, text_col="content",
+                    lang_col="lang")
+    nrt.index_batch(waves[1], 1, index_dir, text_col="content",
+                    lang_col="lang")
+    os.remove(os.path.join(index_dir, "stats", "batch_00000001.json"))
+
+    idx = nrt.load_nrt_index(spark, index_dir, stored=docs)
+    n0 = waves[0].count()
+    assert idx.n_docs == n0
+    # every doc with postings is accounted for in the stats
+    assert idx.postings_nopos.select("doc_id").distinct().count() <= n0
