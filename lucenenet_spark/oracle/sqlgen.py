@@ -503,6 +503,21 @@ sp AS (
 {_span_score_tail(k, boost)}"""
 
 
+def span_or(terms: list[str], k: int = 10, boost: float = 1.0,
+            table: str = "documents") -> str:
+    """SpanOrQuery over term leaves: spans = union of every leaf's
+    occurrences (one token per position, so DISTINCT is a no-op safety);
+    idf sums over all leaves (SpanOrQuery.cs + SpanWeight.ExtractTerms)."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {base_ctes(table)},
+{_span_idf_cte(terms)},
+sp AS (
+  SELECT DISTINCT doc_id, pos AS s, pos + 1 AS e FROM tokens
+  WHERE term IN ({lst})
+),
+{_span_score_tail(k, boost)}"""
+
+
 def span_first(term: str, end: int, k: int = 10, boost: float = 1.0,
                table: str = "documents") -> str:
     """SpanFirstQuery over a term leaf: occurrences ending by `end`."""

@@ -260,7 +260,22 @@ class SpanFirst(Query):
     boost: float = 1.0
 
 
-SPAN_NODES = (SpanTerm, SpanOr, SpanNear, SpanNot, SpanFirst)
+@dataclass(frozen=True)
+class FieldMaskingSpan(Query):
+    """FieldMaskingSpanQuery (src/Lucene.Net/Search/Spans/
+    FieldMaskingSpanQuery.cs:30-67): wraps a span query and advertises
+    `field` instead of the wrapped query's real field so spans over
+    PARALLEL fields (same token positions, different analyzers) can
+    compose inside one SpanNear/SpanOr.  Span generation passes through
+    untouched; extracted leaf terms keep their real field (the reference
+    builds the weight from the wrapped query)."""
+    inner: Query
+    field: str = DEFAULT_FIELD
+    boost: float = 1.0
+
+
+SPAN_NODES = (SpanTerm, SpanOr, SpanNear, SpanNot, SpanFirst,
+              FieldMaskingSpan)
 
 
 def span_leaves(q: Query) -> list[SpanTerm]:
@@ -275,6 +290,8 @@ def span_leaves(q: Query) -> list[SpanTerm]:
         return span_leaves(q.include)  # exclude terms don't contribute idf
     if isinstance(q, SpanFirst):
         return span_leaves(q.match)
+    if isinstance(q, FieldMaskingSpan):
+        return span_leaves(q.inner)  # terms keep their real field
     raise TypeError(f"not a span query: {type(q).__name__}")
 
 

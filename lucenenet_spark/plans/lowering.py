@@ -464,8 +464,10 @@ class Searcher:
         IN-PLAN: no driver round-trip per query (the stats subquery rides
         inside the search job; MultiSearcher.cs:87-118 semantics, df from
         the term-dictionary metadata only)."""
+        fields = (sorted(field) if isinstance(field, (set, frozenset))
+                  else [field])  # span leaves may mix fields (FieldMasking)
         stats = (self.index.term_stats()
-                 .where((F.col("field") == field)
+                 .where(F.col("field").isin(fields)
                         & F.col("term").isin(sorted(terms)))
                  .select("field", "term", "df"))
         return (offdf.join(stats, ["field", "term"])
@@ -745,6 +747,10 @@ class Searcher:
             return u.distinct()
         if isinstance(q, ast.SpanFirst):
             return self._spans(q.match).where(F.col("e") <= q.end)
+        if isinstance(q, ast.FieldMaskingSpan):
+            # positions pass through; only the advertised field changes,
+            # which matters to the CALLER composing across parallel fields
+            return self._spans(q.inner)
         if isinstance(q, ast.SpanNot):
             inc = self._spans(q.include)
             exc = self._spans(q.exclude).select(
@@ -790,8 +796,7 @@ class Searcher:
         leafdf = self.spark.createDataFrame(
             [(t.field, t.term, i) for i, t in enumerate(leaves)],
             "field string, term string, qoff int")
-        field = leaves[0].field
-        qstats = self._query_stats(leafdf, field,
+        qstats = self._query_stats(leafdf, {t.field for t in leaves},
                                    {t.term for t in leaves})
         spans = self._spans(q)
         contrib = 1.0 / (1.0 + (F.col("e") - F.col("s")).cast("double"))

@@ -137,6 +137,30 @@ def test_count_totalhits(engine, oracle):
     assert engine.count(ast.MatchAll()) == len(DOCS)
 
 
+def test_field_masking_span(spark):
+    """FieldMaskingSpanQuery (Search/Spans/FieldMaskingSpanQuery.cs:30-67):
+    spans from a PARALLEL field (same positions, separately indexed)
+    compose inside a text-field SpanNear.  `alias` indexes the same source
+    column, so masking its spans as 'text' must reproduce the
+    single-field result exactly — scores included (leaf stats come from
+    the real field, which is statistically identical here)."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string")
+    idx = build_inverted_index(
+        spark, docs, text_cols={"text": "text", "alias": "text"}).cache()
+    s = Searcher(idx)
+    masked = ast.SpanNear(
+        (ast.SpanTerm("b"),
+         ast.FieldMaskingSpan(ast.SpanTerm("d", field="alias"), "text")),
+        slop=3, in_order=True)
+    plain = ast.SpanNear((ast.SpanTerm("b"), ast.SpanTerm("d")),
+                         slop=3, in_order=True)
+    got = [(r["doc_id"], r["score"]) for r in s.search(masked, 10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in s.search(plain, 10).collect()]
+    assert got == want
+    assert got  # non-empty: the masked compose actually matched
+
+
 def test_partitioning_invariance(spark, oracle):
     """F7: same corpus indexed under 1, 4, 17 partitions -> identical top-k
     (global-stats lemma, src/Lucene.Net/Search/MultiSearcher.cs:355-390)."""
