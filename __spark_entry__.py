@@ -94,7 +94,9 @@ def _ft_lang_term(spark, sf_dir):
     return _lang_searcher(spark, sf_dir).search(ast.Term("merge"), K)
 
 
-_PARSER = QueryParser(default_field="text", keyword_fields={"source"})
+# all_tuples so parsed sloppy phrases keep an exact DuckDB oracle
+_PARSER = QueryParser(default_field="text", keyword_fields={"source"},
+                      slop_spec="all_tuples")
 
 
 def _parsed_multifield(text: str, k: int = 10):
@@ -331,7 +333,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dismax": _search(ast.DisMax((ast.Term("spark"), ast.Term("merge")), tie=0.1)),
         "ft_phrase": _search(ast.Phrase(("table", "hash"))),
         "ft_phrase_slop3": _search(
-            ast.Phrase(("merge", "group", "part"), slop=3)
+            # all_tuples: the SQL-expressible sloppy spec, so the DuckDB
+            # oracle is exact; reference (lucene-walk) semantics are the
+            # ast.Phrase default, cross-checked in tests/test_sloppy_lucene
+            ast.Phrase(("merge", "group", "part"), slop=3,
+                       slop_spec="all_tuples")
         ),
         "ft_multiphrase": _search(
             ast.MultiPhrase((("table", "merge"), ("hash", "group")))
@@ -405,7 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.Bool(must=(ast.Term("spark"),), should=(ast.Term("batch"),))
         ),
         "ft_phrase3": _search(ast.Phrase(("merge", "group", "part"), slop=0)),
-        "ft_phrase_slop": _search(ast.Phrase(("spark", "merge"), slop=3)),
+        "ft_phrase_slop": _search(ast.Phrase(("spark", "merge"), slop=3,
+                                             slop_spec="all_tuples")),
         "ft_wildcard": _search(ast.Wildcard("s?an")),
         "ft_range": _search(ast.TermRange("query", "sort")),
         "ft_span_first": _search(ast.SpanFirst(ast.SpanTerm("table"),

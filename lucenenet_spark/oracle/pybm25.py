@@ -21,6 +21,102 @@ B = 0.75
 SCORE_DECIMALS = 6
 
 
+def _sloppy_freq_walk(plists: list[list[int]], offsets: list[int],
+                      slop: int) -> float:
+    """Independent re-derivation of the reference's sloppy-phrase walk
+    (src/Lucene.Net/Search/SloppyPhraseScorer.cs:56-96 PhraseFreq,
+    :134-218 init/repeats, :226-243 TermPositionsDiffer, :101-118 Flip;
+    queue order PhraseQueue.cs:14-23).  Written heapq-style, separately
+    from the engine kernel (functions/sloppy.lucene_sloppy_freq), so the
+    pytest cross-check compares two implementations that share only the
+    published algorithm — plists[i] = sorted raw positions for the term
+    at query offset offsets[i]; freq = Σ 1/(1 + matchLength) over the
+    matches the greedy walk encounters."""
+    import heapq
+
+    n = len(plists)
+    if n == 0 or any(not pl for pl in plists):
+        return 0.0
+    if n == 1:
+        return float(len(plists[0]))
+
+    idx = [0] * n        # next unread element per stream
+    cur = [0] * n        # current NORMALIZED position (raw - offset)
+
+    def advance(i: int) -> bool:
+        if idx[i] < len(plists[i]):
+            cur[i] = plists[i][idx[i]] - offsets[i]
+            idx[i] += 1
+            return True
+        return False
+
+    for i in range(n):
+        advance(i)
+
+    # repeats: streams whose raw current positions collide (insertion
+    # order of first detection, matching the reference's repeat map)
+    rep: set[int] = set()
+    order: list[int] = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            if cur[a] + offsets[a] == cur[b] + offsets[b]:
+                for i in (a, b):
+                    if i not in rep:
+                        rep.add(i)
+                        order.append(i)
+
+    def differ(i: int) -> int | None:
+        # the higher-offset stream of the first colliding pair, else None
+        tp = cur[i] + offsets[i]
+        for j in order:
+            if j != i and cur[j] + offsets[j] == tp:
+                return i if offsets[i] > offsets[j] else j
+        return None
+
+    for i in order:
+        while True:
+            j = differ(i)
+            if j is None:
+                break
+            if not advance(j):
+                return 0.0  # ran out of a term
+
+    heap = [(cur[i], offsets[i], i) for i in range(n)]
+    heapq.heapify(heap)
+    end = max(cur)
+
+    freq = 0.0
+    done = False
+    while not done:
+        _, _, i = heapq.heappop(heap)
+        start = cur[i]
+        nxt = heap[0][0]
+        differs = True
+        p = start
+        while p <= nxt or not differs:
+            if p <= nxt and differs:
+                start = p
+            if not advance(i):
+                done = True
+                break
+            j = differ(i) if i in rep else None
+            differs = (i not in rep) or j is None
+            if j is not None and j != i:
+                # flip: stream j leaves the heap, stream i takes its place
+                heap.remove((cur[j], offsets[j], j))
+                heap.append((cur[i], offsets[i], i))
+                heapq.heapify(heap)
+                i = j
+            p = cur[i]
+        match_len = end - start
+        if match_len <= slop:
+            freq += 1.0 / (1.0 + match_len)
+        if cur[i] > end:
+            end = cur[i]
+        heapq.heappush(heap, (cur[i], offsets[i], i))
+    return freq
+
+
 def _levenshtein(a: str, b: str) -> int:
     if len(a) < len(b):
         a, b = b, a
@@ -363,14 +459,16 @@ class OracleIndex:
             if q.slop == 0:
                 inter = set.intersection(*shifted)
                 freq = float(len(inter))
+            elif q.slop_spec == "lucene":
+                freq = _sloppy_freq_walk(
+                    [sorted(self.pos[q.field][t][d]) for t in q.terms],
+                    list(offsets), q.slop)
             else:
-                # any-arity sloppy spec: every tuple of shifted positions
+                # slop_spec="all_tuples": every tuple of shifted positions
                 # with spread d = max - min <= slop contributes
-                # sloppyFreq(d) = 1/(1+d) (DefaultSimilarity.cs:71).
-                # Documented deviation from SloppyPhraseScorer.cs:56:
-                # overlapping matches all count (the reference walks a
-                # minimal non-overlapping set); for 2 terms max-min == |Δ|,
-                # so this generalizes the established 2-term behavior.
+                # sloppyFreq(d) = 1/(1+d) (DefaultSimilarity.cs:71) — the
+                # SQL-expressible superset of the reference walk (see
+                # ast.Phrase.slop_spec).
                 import itertools
                 freq = 0.0
                 for tup in itertools.product(*shifted):

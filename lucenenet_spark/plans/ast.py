@@ -43,6 +43,15 @@ class Phrase(Query):
     slop: int = 0
     offsets: tuple[int, ...] | None = None
     boost: float = 1.0
+    # slop>0 frequency spec: "lucene" (default) = the reference's greedy
+    # minimal-window walk (SloppyPhraseScorer.cs:56-96, repeats included;
+    # functions/sloppy.py); "all_tuples" = every position tuple with
+    # spread <= slop counts 1/(1+spread) — a SQL-expressible superset
+    # used where a declarative DuckDB oracle is required.  The two agree
+    # whenever no query term occurs more than once inside a candidate
+    # window; they diverge on docs like "a b c b a f g" for "c b"~2
+    # (lucene: one match; all_tuples: two).
+    slop_spec: str = "lucene"
 
     def resolved_offsets(self) -> tuple[int, ...]:
         return self.offsets if self.offsets is not None else tuple(range(len(self.terms)))

@@ -34,6 +34,7 @@ from __future__ import annotations
 import math
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import bm25
@@ -515,15 +516,37 @@ class Searcher:
                 lambda acc, xs: F.array_intersect(acc, xs),
             )
             freq = F.size(inter).cast("double")
+        elif q.slop_spec == "lucene":
+            # reference semantics: the greedy minimal-window walk of
+            # SloppyPhraseScorer.cs:56-96 (repeats included) — a stateful
+            # priority-queue traversal no declarative fold expresses, so
+            # it runs as an Arrow-batched kernel over the per-doc
+            # position lists.  Only docs containing ALL query terms reach
+            # this point (n_off gate above), so the Python cost is
+            # per-candidate, not per-corpus-row.
+            from ..functions.sloppy import lucene_sloppy_freq
+
+            slop = int(q.slop)
+
+            @F.pandas_udf("double")
+            def _lucene_freq(pl: pd.Series) -> pd.Series:
+                vals = []
+                for entries in pl:
+                    plists = [[int(x) for x in e["positions"]]
+                              for e in entries]
+                    offs = [int(e["qoff"]) for e in entries]
+                    vals.append(lucene_sloppy_freq(plists, offs, slop))
+                return pd.Series(vals, dtype="float64")
+
+            freq = _lucene_freq(F.sort_array(F.col("plists")))
         else:
-            # any-arity sloppy spec: every tuple of shifted positions (one
-            # per query position) with spread d = max - min <= slop
+            # slop_spec="all_tuples": every tuple of shifted positions
+            # (one per query position) with spread d = max - min <= slop
             # contributes sloppyFreq(d) = 1/(1+d)
-            # (src/Lucene.Net/Search/DefaultSimilarity.cs:71).  Documented
-            # deviation from SloppyPhraseScorer.cs:56: overlapping matches
-            # all count (the reference walks a minimal non-overlapping
-            # set); for 2 terms max-min == |Δ|, so this generalizes the
-            # established 2-term behavior.  Lowered as NESTED higher-order
+            # (src/Lucene.Net/Search/DefaultSimilarity.cs:71).  This is
+            # the SQL-expressible superset of the reference walk (see
+            # ast.Phrase.slop_spec); the contract entries use it so their
+            # DuckDB oracles stay exact.  Lowered as NESTED higher-order
             # folds over the n position arrays — tuple enumeration happens
             # inside one JVM expression per doc row, no extra join or
             # explode (tuple count = Π tf_i, query-term-bounded).

@@ -112,10 +112,13 @@ class QueryParser:
 
     def __init__(self, default_field: str = ast.DEFAULT_FIELD,
                  analyzers: dict | None = None,
-                 keyword_fields: set[str] | frozenset[str] = frozenset()):
+                 keyword_fields: set[str] | frozenset[str] = frozenset(),
+                 slop_spec: str = "lucene"):
         self.default_field = default_field
         self.analyzers = analyzers or {}
         self.keyword_fields = set(keyword_fields)
+        # sloppy-phrase frequency spec forwarded to ast.Phrase (see there)
+        self.slop_spec = slop_spec
 
     # ---- public
 
@@ -245,7 +248,8 @@ class QueryParser:
         base = toks[0][1]
         return ast.Phrase(
             terms=tuple(tm for tm, _ in toks), field=field, slop=slop,
-            offsets=tuple(p - base for _, p in toks), boost=boost)
+            offsets=tuple(p - base for _, p in toks), boost=boost,
+            slop_spec=self.slop_spec)
 
     def _parse_primary(self, scope: str | None) -> ast.Query | None:
         t = self._next()
