@@ -83,6 +83,43 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.9,
     )
 
 
+def cosine_pairs_bucketed(emb: DataFrame, threshold: float = 0.4,
+                          tables: int = 8, planes: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          bucket_table: DataFrame | None = None) -> DataFrame:
+    """Embedding near-dup pairs via RP-LSH candidate generation — the
+    100 TB path that replaces cosine_pairs' all-pairs cross join.
+
+    Candidates = pairs sharing a bucket in >=1 hash table (the same
+    deterministic md5-hyperplane buckets as rp_lsh_topk, so the DuckDB
+    oracle reproduces the EXACT candidate set); each candidate is then
+    verified with the exact cosine kernel.  Shuffles: one on
+    (table, bucket), one pair-distinct, two hash joins to fetch vectors
+    — never doc x doc.  Recall is the LSH S-curve at (tables, planes);
+    defaults tuned so moderate-similarity pairs survive.  Pass a
+    persisted `bucket_table` to skip recomputation (at scale it is
+    bucketBy-partitioned and this becomes a co-located join)."""
+    bt = bucket_table if bucket_table is not None else rp_bucket_table(
+        emb, tables, planes, None, id_col, vec_col)
+    keyed = bt.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)]))
+        .alias("t", "bucket"))
+    a = keyed.select("t", "bucket", F.col("vid").alias("vec_a"))
+    b = keyed.select("t", "bucket", F.col("vid").alias("vec_b"))
+    cand = (a.join(b, ["t", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    pa = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    pb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb")))
+    return (cand.join(pa, "vec_a").join(pb, "vec_b")
+            .select("vec_a", "vec_b", F.round(cos, ROUND).alias("cosine"))
+            .where(F.col("cosine") >= threshold))
+
+
 def _hyperplane(table: int, plane: int, dim: int) -> list:
     """Deterministic pseudo-random hyperplane components in [-1, 1) derived
     from md5 — reproducible on any engine, no RNG state."""

@@ -41,11 +41,18 @@ def _hash60(col) -> F.Column:
 
 
 def exact_dups(docs: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               key_chars: int | None = None) -> DataFrame:
     """(content_sha, n_dups, canonical_id) for groups of byte-identical docs;
-    canonical = lowest doc_id (the survivor)."""
+    canonical = lowest doc_id (the survivor).
+
+    key_chars: hash only the first N characters — prefix dedup, the
+    standard key for boilerplate/template collapse (full-content equality
+    is the None default).  One shuffle either way."""
+    key = (F.substring(F.col(text_col), 1, key_chars) if key_chars
+           else F.col(text_col))
     return (
-        docs.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        docs.groupBy(F.sha2(key, 256).alias("content_sha"))
         .agg(
             F.count("*").alias("n_dups"),
             F.min(F.col(id_col)).alias("canonical_id"),

@@ -691,15 +691,28 @@ def _raw_tok_cte(table: str = "documents", id_col: str = "doc_id",
 
 
 def exact_dups(table: str = "documents", text_col: str = "text",
-               id_col: str = "doc_id") -> str:
-    return f"""SELECT sha256({text_col}) AS content_sha, count(*) AS n_dups,
+               id_col: str = "doc_id", key_chars: int | None = None) -> str:
+    key = (f"substr({text_col}, 1, {key_chars})" if key_chars
+           else text_col)
+    return f"""SELECT sha256({key}) AS content_sha, count(*) AS n_dups,
        min({id_col}) AS canonical_id
-FROM {table} GROUP BY sha256({text_col}) HAVING count(*) > 1"""
+FROM {table} GROUP BY sha256({key}) HAVING count(*) > 1"""
 
 
 def ngram_jaccard_pairs(n: int = 3, threshold: float = 0.5,
-                        table: str = "documents") -> str:
+                        table: str = "documents",
+                        max_shingle_df: int | None = None) -> str:
     parts = "||' '||".join(f"toks[i+{j}]" for j in range(n))
+    guard = ""
+    if max_shingle_df is not None:
+        # mirror of the engine's stop-shingle skew guard: shingles in
+        # more than max_shingle_df docs never join (na/nb keep counting
+        # them — the guard prunes the JOIN, not the denominators)
+        guard = f"""
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > {max_shingle_df}),
+shg AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),"""
+    src = "shg" if max_shingle_df is not None else "sh"
     return f"""WITH {_raw_tok_cte(table)},
 sh AS (
   SELECT doc_id, unnest(shs) AS shingle, len(shs) AS n_sh FROM (
@@ -707,11 +720,11 @@ sh AS (
            list_distinct(list_transform(generate_series(1, len(toks)-{n - 1}),
                                         i -> {parts})) AS shs
     FROM raw WHERE len(toks) >= {n})
-),
+),{guard}
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, round(i::DOUBLE/(na + nb - i), 6) AS jaccard
@@ -719,12 +732,24 @@ FROM inter WHERE round(i::DOUBLE/(na + nb - i), 6) >= {threshold}"""
 
 
 def minhash_lsh_pairs(num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5, table: str = "documents") -> str:
+                      threshold: float = 0.5, table: str = "documents",
+                      max_bucket_size: int | None = None) -> str:
     from ..operators.dedup import M30, MH_PRIME, mh_consts
 
     rows = num_hashes // bands
     consts = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
                        for i, (a, b) in enumerate(mh_consts(num_hashes)))
+    guard = ""
+    src = "banded"
+    if max_bucket_size is not None:
+        # mirror of the engine's degenerate-bucket skew guard: a band
+        # bucket holding more than max_bucket_size docs emits no pairs
+        guard = f""",
+hotb AS (SELECT band, bkey FROM banded GROUP BY band, bkey
+         HAVING count(*) > {max_bucket_size}),
+bandg AS (SELECT b.* FROM banded b ANTI JOIN hotb h
+          ON b.band = h.band AND b.bkey = h.bkey)"""
+        src = "bandg"
     return f"""WITH {_raw_tok_cte(table)},
 toku AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM raw WHERE len(toks) > 0),
 sizes AS (SELECT doc_id, count(*) AS n FROM toku GROUP BY doc_id),
@@ -742,10 +767,10 @@ banded AS (
   SELECT doc_id, i // {rows} AS band,
          md5(string_agg(mv::VARCHAR, ',' ORDER BY i)) AS bkey
   FROM mh GROUP BY doc_id, i // {rows}
-),
+){guard},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  FROM {src} a JOIN {src} b ON a.band = b.band AND a.bkey = b.bkey
   WHERE a.doc_id < b.doc_id
 ),
 inter AS (
@@ -821,6 +846,45 @@ def cosine_pairs(threshold: float = 0.99, table: str = "embeddings") -> str:
   FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}"""
+
+
+def cosine_pairs_bucketed(threshold: float = 0.4, tables: int = 8,
+                          planes: int = 4, dim: int = 64,
+                          table: str = "embeddings") -> str:
+    """Exact oracle for the RP-LSH-bucketed near-dup pairs: the md5
+    hyperplanes + left-fold float64 dots reproduce the engine's bucket
+    ids bit-for-bit (same lemma as rp_lsh_topk), so the candidate set —
+    and therefore the verified pair set — is identical."""
+    scale = "576460752303423488.0"  # 1 << 59
+    e_dot = (f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+             "e.embedding[i]::DOUBLE * pl.pv[i]), (a,b) -> a + b)")
+    return f"""WITH pl AS (
+  SELECT tt.t, pp.p,
+         list_transform(range({dim}), d ->
+           ('0x'||substr(md5(tt.t||':'||pp.p||':'||d),1,15))::BIGINT / {scale} - 1.0) AS pv
+  FROM (SELECT unnest(range({tables})) AS t) tt
+  CROSS JOIN (SELECT unnest(range({planes})) AS p) pp
+),
+eb AS (
+  SELECT e.vec_id, pl.t,
+         sum(CASE WHEN {e_dot} >= 0 THEN 1::BIGINT << pl.p ELSE 0 END) AS bucket
+  FROM {table} e CROSS JOIN pl
+  GROUP BY e.vec_id, pl.t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM eb a JOIN eb b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_dot_product(ea.embedding::DOUBLE[], ez.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(ez.embedding::DOUBLE[], ez.embedding::DOUBLE[]))), 6) AS cosine
+  FROM cand c JOIN {table} ea ON ea.vec_id = c.vec_a
+              JOIN {table} ez ON ez.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}"""
 
 
 def textstats(table: str = "documents") -> str:
