@@ -95,6 +95,40 @@ def _ft_lang_term(spark, sf_dir):
 
 
 # all_tuples so parsed sloppy phrases keep an exact DuckDB oracle
+_EMAIL_CACHE: dict[str, tuple] = {}
+
+# derived text appended to every doc: a per-(source, lang) EMAIL token, an
+# ACRONYM and a possessive APOSTROPHE — the corpus itself is punctuation-
+# free, so the full StandardTokenizer classes are exercised on a
+# deterministic derivation of the real table (both engines derive it
+# identically; no synthetic inputs)
+_EMAIL_SUFFIX = ".org about the u.s.a. and o'reilly's work"
+
+
+def _email_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index over the email-bearing derived text via the JVM-expression
+    analyzer path (exprs.standard_tokens) — contract coverage for the
+    full token-class chain (StandardTokenizerImpl.jflex)."""
+    hit = _EMAIL_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from lucenenet_spark.index.builder import build_inverted_index
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact "), F.col("source"),
+                 F.lit("@mail-"), F.col("lang"),
+                 F.lit(_EMAIL_SUFFIX)).alias("text"))
+    s = Searcher(build_inverted_index(spark, d, text_cols="text"))
+    _EMAIL_CACHE[sf_dir] = (spark, s)
+    return s
+
+
+def _ft_email_term(spark, sf_dir):
+    q = ast.Bool(must=(ast.Term("src0@mail-en.org"),),
+                 should=(ast.Term("usa"),))
+    return _email_searcher(spark, sf_dir).search(q, K)
+
+
 _PARSER = QueryParser(default_field="text", keyword_fields={"source"},
                       slop_spec="all_tuples")
 
@@ -364,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_prefix": _search(ast.Prefix("s")),
         "ft_fuzzy": _search(ast.Fuzzy("scan", min_similarity=0.5)),
         "ft_regex": _search(ast.Regex("^s[ct]a[nr].*")),
+        "ft_email_term": _ft_email_term,
         # --- span queries (SURVEY.md §2.4, Search/Spans/) ---
         "ft_span_near": _search(ast.SpanNear(
             (ast.SpanTerm("merge"), ast.SpanTerm("part")), slop=4,
@@ -479,6 +514,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_fuzzy": g.fuzzy_query("scan", 0.5, k=K),
         "ft_regex": g.constant_multiterm(
             "regexp_matches(term, '^s[ct]a[nr].*')", 1.0, K),
+        "ft_email_term": g.bool_query(
+            must=[("src0@mail-en.org", 1.0)], should=[("usa", 1.0)], k=K,
+            table=("(SELECT doc_id, text || ' contact ' || source || "
+                   "'@mail-' || lang || '.org about the u.s.a. and "
+                   "o''reilly''s work' AS text FROM documents)")),
         "ft_span_near": g.span_near(["merge", "part"], slop=4,
                                     in_order=True, k=K),
         "ft_span_or": g.span_or(["merge", "batch"], k=K),

@@ -48,12 +48,69 @@ assert len(ENGLISH_STOP_WORDS) == 33
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.cs:124
 
-# Token = maximal run of lowercase alnum over lower()ed text.  Keep this
-# regex in sync with exprs.py (JVM split pattern) and sqlgen.py.
-STANDARD_TOKEN_RE = re.compile(r"[a-z0-9]+")
-# The JVM/SQL split/extract patterns derived from the same class:
-STANDARD_SPLIT_PATTERN = "[^a-z0-9]+"        # for Spark F.split(lower(x), ...)
-STANDARD_EXTRACT_PATTERN = "[a-z0-9]+"       # for duckdb regexp_extract_all
+# ---- full StandardTokenizer token classes ----------------------------
+# Re-derivation of the JFlex grammar
+# (src/Lucene.Net/Analysis/Standard/StandardTokenizerImpl.jflex, type ids
+# StandardTokenizer.cs:64-81), ASCII subset (LETTER=[a-z], digit=[0-9];
+# THAI/CJ classes out of scope for this corpus), expressed as ONE
+# leftmost-first regex alternation so the SAME pattern runs identically
+# in Python re, Java regex (Spark JVM) and RE2 (DuckDB) — none of which
+# implement JFlex's longest-match rule, so alternation ORDER encodes it:
+#
+#   EMAIL       alnum(.-_alnum)* @ alnum(.-alnum)+
+#   APOSTROPHE  alpha('alpha)+            -- O'Reilly, you're
+#   COMPANY     alpha[&@]alpha            -- AT&T, Excite@Home
+#   NUM         P-joined segments, alternating HAS_DIGIT anchors
+#   DOTTED      alnum(.alnum)+ optional trailing '.' -- HOST, ACRONYM,
+#               ACRONYM_DEP folded into one branch; classified after the
+#               match by shape (see _std_transform)
+#   ALPHANUM    alnum run
+#
+# Known deviations from JFlex longest-match (documented, rare):
+#   - "1.2-3": JFlex NUM wins over HOST prefix; here NUM is ordered
+#     before DOTTED so it also wins — but mixed-P runs whose digit lies
+#     only beyond a non-dot separator may segment differently
+#     (e.g. "a-b-c2" -> [a, b-c2] here AND in JFlex — verified).
+#   - HOST vs NUM type labels for all-dotted digit runs ("1.2.3.4")
+#     differ (NUM here, HOST in JFlex); the emitted TERM is identical.
+_P = r"[_\-/.,]"
+_HD = r"[a-z]*[0-9][a-z0-9]*"  # HAS_DIGIT segment
+STANDARD_ALTERNATION = (
+    r"[a-z0-9]+(?:[._-][a-z0-9]+)*@[a-z0-9]+(?:[.-][a-z0-9]+)+"   # EMAIL
+    r"|[a-z]+(?:'[a-z]+)+"                                        # APOSTROPHE
+    r"|[a-z]+[&@][a-z]+"                                          # COMPANY
+    rf"|(?:[a-z0-9]+{_P})?{_HD}(?:{_P}[a-z0-9]+{_P}{_HD})*(?:{_P}[a-z0-9]+)?"  # NUM
+    r"|[a-z0-9]+(?:\.[a-z0-9]+)+\.?"                              # DOTTED
+    r"|[a-z0-9]+"                                                 # ALPHANUM
+)
+STANDARD_TOKEN_RE = re.compile(STANDARD_ALTERNATION)
+# dotted single letters ending '.' == ACRONYM (dots removed by
+# StandardFilter, StandardFilter.cs:66-78); other trailing-dot DOTTED
+# matches are ACRONYM_DEP -> HOST with the trailing dot stripped
+# (replaceInvalidAcronym, StandardTokenizer.cs:182-193)
+ACRONYM_RE = re.compile(r"(?:[a-z]\.){2,}")
+
+
+def _std_transform(tok: str) -> str:
+    """StandardFilter + invalid-acronym repair for one raw token."""
+    if tok.endswith("'s"):
+        tok = tok[:-2]  # possessive strip (StandardFilter.cs:61-65)
+    if ACRONYM_RE.fullmatch(tok):
+        return tok.replace(".", "")
+    if tok.endswith("."):
+        return tok[:-1]
+    return tok
+
+
+# ---- surface tokens: the simple [a-z0-9]+ spec, used by the DEDUP and
+# TEXTSTATS operators (they analyze surface text, not index terms) and
+# mirrored by oracle/sqlgen._raw_tok_cte.
+SURFACE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+SURFACE_SPLIT_PATTERN = "[^a-z0-9]+"         # for Spark F.split(lower(x), ...)
+SURFACE_EXTRACT_PATTERN = "[a-z0-9]+"        # for duckdb regexp_extract_all
+# Back-compat aliases (pre-round-3 names)
+STANDARD_SPLIT_PATTERN = SURFACE_SPLIT_PATTERN
+STANDARD_EXTRACT_PATTERN = SURFACE_EXTRACT_PATTERN
 
 # Code identifiers, then camel/snake/digit sub-splitting.
 CODE_IDENT_RE = re.compile(r"[A-Za-z0-9_]+")
@@ -68,11 +125,17 @@ CODE_LANGS: frozenset[str] = frozenset(
 
 
 def tokenize_standard(text: str) -> list[tuple[str, int]]:
-    """(term, position) pairs after the standard chain; holes preserved."""
+    """(term, position) pairs after the standard chain; holes preserved.
+
+    Full chain: StandardTokenizer type classes (EMAIL/APOSTROPHE/COMPANY/
+    NUM/HOST/ACRONYM/ALPHANUM) -> StandardFilter ('s strip, acronym dot
+    removal) -> LowerCaseFilter (folded into the lower() pre-pass) ->
+    length filter -> StopFilter with position holes."""
     if text is None:
         return []
     out: list[tuple[str, int]] = []
     for pos, tok in enumerate(STANDARD_TOKEN_RE.findall(text.lower())):
+        tok = _std_transform(tok)
         if len(tok) > MAX_TOKEN_LENGTH or tok in ENGLISH_STOP_WORDS:
             continue
         out.append((tok, pos))
@@ -134,3 +197,31 @@ def tokenize(text: str, lang: str | None = None) -> list[tuple[str, int]]:
 def doc_length(text: str, lang: str | None = None) -> int:
     """Number of emitted tokens == BM25 doc length (norm analogue)."""
     return len(tokenize(text, lang))
+
+
+def tokenize_values(values, lang: str | None = None,
+                    gap: int = 0) -> list[tuple[str, int]]:
+    """Multi-valued field analysis (Analyzer.GetPositionIncrementGap,
+    src/Lucene.Net/Analysis/Analyzer.cs:108-126): value i+1's positions
+    start `gap` past value i's position space, so a gap larger than any
+    phrase slop blocks phrase matches across instance boundaries
+    (gap=0 = the reference default: successive positions, exact phrases
+    CAN match across the boundary).
+
+    Deviation note: the base advances by value i's RAW token count, so
+    trailing stopword holes survive the boundary (the reference's
+    position counter drops increments pending at stream end) — only
+    observable for cross-boundary sloppy phrases over trailing
+    stopwords, and only at gap=0."""
+    out: list[tuple[str, int]] = []
+    base = 0
+    for v in values or []:
+        if v is None:
+            continue
+        toks = tokenize(v, lang)
+        out.extend((t, base + p) for t, p in toks)
+        raw_n = len(STANDARD_TOKEN_RE.findall(v.lower())) if lang is None \
+            or lang.lower() not in CODE_LANGS else len(
+                CODE_SUBTOKEN_RE.findall(v))
+        base += raw_n + gap
+    return out

@@ -187,7 +187,7 @@ def _postings_for_field(docs: DataFrame, id_col: str, text_col: str,
     """One field's postings via the JVM-expression analyzer (codegen path)
     or the Arrow per-lang analyzer when lang dispatch is requested."""
     if lang_col is None:
-        raw = exprs.raw_tokens(F.col(text_col))
+        raw = exprs.standard_tokens(F.col(text_col))
         # posexplode BEFORE stop-removal: position = index over all tokens
         # (holes preserved, StopFilter.cs:128-140); dl travels with each row
         # so no doc-metadata join is ever needed downstream.

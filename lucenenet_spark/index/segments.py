@@ -65,7 +65,7 @@ MERGE_FACTOR = 10  # LogMergePolicy.cs:56
 def _invert_partition(field_name: str, id_col: str, text_col: str,
                       lang_col: str | None, positions: bool,
                       keyword: bool = False, fold: bool = False,
-                      analyzer=None):
+                      analyzer=None, position_increment_gap: int = 0):
     """mapInPandas kernel: one segment per input partition.
 
     Vectorized invert: tokenization is the only per-doc Python; everything
@@ -95,6 +95,19 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
             for doc_id, text, lg in zip(pdf[id_col], pdf[text_col], langs):
                 if keyword:
                     toks = [] if text is None else [(str(text), 0)]
+                elif (not isinstance(text, str) and text is not None
+                        and hasattr(text, "__iter__")):
+                    # multi-valued field (array<string> column):
+                    # positionIncrementGap between instances
+                    # (Analyzer.cs:108-126)
+                    from ..analysis.tokenizers import tokenize_values
+                    vals = list(text)
+                    if fold:
+                        from ..analysis.folding import fold_ascii_py
+                        vals = [fold_ascii_py(v) if v is not None else None
+                                for v in vals]
+                    toks = tokenize_values(vals, lg,
+                                           gap=position_increment_gap)
                 else:
                     if fold and text is not None:
                         from ..analysis.folding import fold_ascii_py
@@ -575,6 +588,7 @@ def build_segmented_index(
     retain_waves: int | None = 2,
     fold_ascii: bool = False,
     analyzer=None,
+    position_increment_gap: int = 0,
 ) -> SegmentedIndex:
     """docs -> per-partition segments -> merge wave(s).
 
@@ -619,7 +633,8 @@ def build_segmented_index(
     # Letter / LowerCase tokenizers in analysis.tokenizers plug in here).
     seg = docs.select(*cols).mapInPandas(
         _invert_partition(field_name, id_col, text_col, lang_col, positions,
-                          fold=fold_ascii, analyzer=analyzer),
+                          fold=fold_ascii, analyzer=analyzer,
+                          position_increment_gap=position_increment_gap),
         SEGMENT_SCHEMA,
     )
     for kfld, ksrc in (keyword_cols or {}).items():
@@ -709,11 +724,15 @@ def update_documents(
             .select(F.col(id_col).alias("doc_id")))
 
     base = (index.stored.agg(F.max(F.col(id_col))).collect()[0][0] or 0) + 1
-    from pyspark.sql import Window
-    fresh = new_docs.withColumn(
-        id_col,
-        F.lit(int(base))
-        + F.row_number().over(Window.orderBy(*key_cols)).cast("long") - 1)
+    # distributed id assignment: partition-local rank + per-partition base
+    # offsets (the docID-rebase trick, sources/corpus.with_doc_ids) — a
+    # global row_number window would force every new row through ONE task
+    from ..sources.corpus import with_doc_ids
+    assigned = with_doc_ids(new_docs, tuple(key_cols), range_partition=True)
+    fresh = assigned.withColumn(
+        id_col, (F.col("doc_id") + F.lit(int(base))).cast("long"))
+    keep = [c for c in new_docs.columns if c != id_col] + [id_col]
+    fresh = fresh.select(*keep)
 
     max_seg = (index.segments.agg(F.max("seg_id")).collect()[0][0] or 0)
     cols = [id_col, text_col] + ([lang_col] if lang_col else [])

@@ -9,11 +9,25 @@ discipline).  Shared CTE prefix = the whole index build expressed in SQL.
 
 from __future__ import annotations
 
-from ..analysis.tokenizers import ENGLISH_STOP_WORDS
+from ..analysis.tokenizers import ENGLISH_STOP_WORDS, STANDARD_ALTERNATION
 from ..functions.textstats import LANG_MARKERS
 
 STOPLIST_SQL = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 K1, B = 1.2, 0.75
+
+# SQL literal of the shared StandardTokenizer alternation (RE2 runs the
+# same leftmost-first semantics as Python re / Java regex — verified by
+# tests/test_tokenizers.py cross-engine cases)
+_STD_ALT_SQL = STANDARD_ALTERNATION.replace("'", "''")
+# StandardFilter transform per raw token: possessive strip, acronym dot
+# removal, invalid-acronym (trailing-dot HOST) repair — mirrors
+# analysis/tokenizers._std_transform
+_STD_XF = (
+    "CASE WHEN regexp_matches(regexp_replace(t, '''s$', ''), "
+    "'^(?:[a-z]\\.){2,}$') "
+    "THEN replace(regexp_replace(t, '''s$', ''), '.', '') "
+    "ELSE regexp_replace(regexp_replace(t, '''s$', ''), '\\.$', '') END"
+)
 
 
 def base_ctes(table: str = "documents", id_col: str = "doc_id",
@@ -24,7 +38,10 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
 tk AS (
   SELECT {id_col} AS doc_id, unnest(toks) AS term,
          generate_subscripts(toks, 1) - 1 AS pos
-  FROM (SELECT {id_col}, regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS toks
+  FROM (SELECT {id_col},
+               list_transform(
+                 regexp_extract_all(lower({text_col}), '{_STD_ALT_SQL}'),
+                 t -> {_STD_XF}) AS toks
         FROM {table})
 ),
 tokens AS (

@@ -121,7 +121,8 @@ def corpus_df(spark: SparkSession, n_rows: int, seed: int = 42,
 
 
 def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path"),
-                 num_partitions: int | None = None) -> DataFrame:
+                 num_partitions: int | None = None,
+                 range_partition: bool = False) -> DataFrame:
     """Deterministic dense doc_id via partition-local rank + partition base
     offsets (mirrors docID rebase `doc = docMap[doc] + base`,
     src/Lucene.Net/Index/SegmentMerger.cs:819-821).
@@ -144,7 +145,13 @@ def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path")
 
     np_ = num_partitions or docs.rdd.getNumPartitions()
     key = [F.col(c) for c in order_cols]
-    part = docs.repartition(np_, *key).sortWithinPartitions(*order_cols)
+    # range_partition=True: ascending key ranges land on ascending
+    # partition ids, so base+local-rank ids follow GLOBAL key order (the
+    # drop-in distributed replacement for a row_number() window); hash
+    # (default) spreads skewed keys better when only density matters.
+    part = (docs.repartitionByRange(np_, *key) if range_partition
+            else docs.repartition(np_, *key)
+            ).sortWithinPartitions(*order_cols)
     counts = (
         part.groupBy(F.spark_partition_id().alias("_pid"))
         .count().collect()
