@@ -204,6 +204,38 @@ def block_maxes(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     return out
 
 
+def block_maxes_all(p_doc: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    tstart: np.ndarray, df_t: np.ndarray,
+                    block: int = BLOCK_SIZE) -> list[list[dict]]:
+    """Vectorized block_maxes for ALL terms of a segment at once.
+
+    p_doc/tfs/dls are the flat per-posting arrays; term i owns the slice
+    [tstart[i], tstart[i]+df_t[i]). Because the per-term blocks tile the
+    whole array contiguously, one maximum.reduceat / minimum.reduceat over
+    the global block-start vector computes every block bound in two passes
+    (vs one Python loop + 3 numpy calls per term in block_maxes)."""
+    n_terms = len(tstart)
+    if n_terms == 0:
+        return []
+    tstart = np.ascontiguousarray(tstart, np.int64)
+    df_t = np.ascontiguousarray(df_t, np.int64)
+    nblk = -(-df_t // block)  # ceil-div; df_t >= 1 always
+    total = int(nblk.sum())
+    first = np.zeros(n_terms, np.int64)
+    np.cumsum(nblk[:-1], out=first[1:])
+    within = (np.arange(total, dtype=np.int64) - np.repeat(first, nblk)) * block
+    starts = np.repeat(tstart, nblk) + within
+    ends = np.minimum(starts + block, np.repeat(tstart + df_t, nblk))
+    max_tf = np.maximum.reduceat(tfs, starts)
+    min_dl = np.minimum.reduceat(dls, starts)
+    last_doc = p_doc[ends - 1]
+    flat = [{"last_doc": l, "max_tf": m, "min_dl": d}
+            for l, m, d in zip(last_doc.tolist(), max_tf.tolist(),
+                               min_dl.tolist())]
+    offs = np.concatenate([[0], np.cumsum(nblk)])
+    return [flat[offs[i]:offs[i + 1]] for i in range(n_terms)]
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     positions_flat: np.ndarray | None = None):
     """-> dict of blob fields for one (field, term) posting list."""

@@ -65,78 +65,200 @@ MERGE_FACTOR = 10  # LogMergePolicy.cs:56
 def _invert_partition(field_name: str, id_col: str, text_col: str,
                       lang_col: str | None, positions: bool,
                       keyword: bool = False, fold: bool = False,
-                      analyzer=None, position_increment_gap: int = 0):
+                      analyzer=None, position_increment_gap: int = 0,
+                      force_slow: bool = False):
     """mapInPandas kernel: one segment per input partition.
 
-    Vectorized invert: tokenization is the only per-doc Python; everything
-    after (grouping into postings, tf counting, delta+VInt encoding) runs
-    as flat-array numpy/pandas ops over the whole partition at once —
+    Vectorized invert — the TermsHashPerField + FreqProxTermsWriter +
+    FormatPostings chain (SURVEY.md §2.3) collapsed into array passes:
     factorize terms -> lexsort (term, doc, pos) -> run-length boundaries
-    -> segmented encode, one byte-stream split per term. This is the
-    TermsHashPerField + FreqProxTermsWriter + FormatPostings chain
-    (SURVEY.md §2.3) collapsed into five array passes.
+    -> segmented encode, one byte-stream split per term.
+
+    FAST PATH (plain string column, built-in analyzers): the ONLY per-doc
+    Python is one regex findall; the StandardFilter/length/stop transforms
+    run over the factorized UNIQUE terms (vocabulary-sized, 10-30x fewer
+    than tokens), positions come from arange arithmetic, per-doc lengths
+    from one add.reduceat. This cuts per-token object allocation ~5x —
+    the invert kernel is memory-bandwidth-bound at high core counts
+    (BENCH/hw_ceiling.json), so allocation traffic is what scaling buys.
+
+    SLOW PATH (keyword fields, custom analyzer=, multi-valued
+    array<string> columns, or force_slow=True for equivalence tests):
+    the original per-doc tokenize loop; bit-identical output.
 
     keyword=True indexes the whole column value as ONE term with tf=1,
     dl=1, position 0 (KeywordAnalyzer, src/Lucene.Net/Analysis/
     KeywordAnalyzer.cs) — identical semantics to the logical path's
     keyword_cols."""
 
+    def _slow_accumulate(pdf, acc):
+        term_chunks, doc_chunks, pos_chunks, tok_counts = acc
+        langs = pdf[lang_col] if lang_col else [None] * len(pdf)
+        for doc_id, text, lg in zip(pdf[id_col], pdf[text_col], langs):
+            if keyword:
+                toks = [] if text is None else [(str(text), 0)]
+            elif (not isinstance(text, str) and text is not None
+                    and hasattr(text, "__iter__")):
+                # multi-valued field (array<string> column):
+                # positionIncrementGap between instances
+                # (Analyzer.cs:108-126)
+                from ..analysis.tokenizers import tokenize_values
+                vals = list(text)
+                if fold:
+                    from ..analysis.folding import fold_ascii_py
+                    vals = [fold_ascii_py(v) if v is not None else None
+                            for v in vals]
+                toks = tokenize_values(vals, lg,
+                                       gap=position_increment_gap)
+            else:
+                if fold and text is not None:
+                    from ..analysis.folding import fold_ascii_py
+                    text = fold_ascii_py(text)
+                toks = (analyzer(text) if analyzer is not None
+                        else tokenize(text, lg))
+            n = len(toks)
+            if n == 0:
+                continue
+            term_chunks.append([t for t, _ in toks])
+            pos_chunks.append(
+                np.fromiter((p for _, p in toks), np.int64, n))
+            doc_chunks.append(np.full(n, int(doc_id), np.int64))
+            tok_counts.append(n)
+
+    def _fast_accumulate(pdf, std, cod):
+        from ..analysis.tokenizers import (
+            CODE_LANGS, CODE_SUBTOKEN_RE, STANDARD_TOKEN_RE)
+        if fold:
+            from ..analysis.folding import fold_ascii_py
+        if lang_col:
+            is_code = (pdf[lang_col].astype(str).str.lower()
+                       .isin(CODE_LANGS).to_numpy())
+        else:
+            is_code = np.zeros(len(pdf), bool)
+        code_find = CODE_SUBTOKEN_RE.findall
+        std_find = STANDARD_TOKEN_RE.findall
+        for i, (doc_id, text) in enumerate(zip(pdf[id_col], pdf[text_col])):
+            if not isinstance(text, str):
+                continue  # null (None/NaN); arrays ruled out by mode probe
+            if fold:
+                text = fold_ascii_py(text)
+            if is_code[i]:
+                raw = code_find(text)
+                tgt = cod
+            else:
+                raw = std_find(text.lower())
+                tgt = std
+            if raw:
+                tgt[0].append(raw)
+                tgt[1].append(len(raw))
+                tgt[2].append(int(doc_id))
+
+    def _fast_stream(stream, transform_unique):
+        """(chunks, counts, docs) -> (tid, terms, keep_tok, doc, pos, dl)
+        flat per-RAW-token arrays; terms = transformed unique vocabulary."""
+        chunks, counts, docs = stream
+        import itertools
+        flat = np.asarray(
+            list(itertools.chain.from_iterable(chunks)), dtype=object)
+        tid, uniq = pd.factorize(flat, sort=False)
+        tid = tid.astype(np.int64)
+        terms = np.empty(len(uniq), object)
+        keep_u = np.empty(len(uniq), bool)
+        for j, u in enumerate(uniq):
+            terms[j], keep_u[j] = transform_unique(u)
+        counts = np.asarray(counts, np.int64)
+        starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        posv = np.arange(len(flat), dtype=np.int64) - np.repeat(starts,
+                                                                counts)
+        docv = np.repeat(np.asarray(docs, np.int64), counts)
+        keep_tok = keep_u[tid]
+        # dl = EMITTED tokens per doc (post stop/length filter) -> the norm
+        dl_doc = np.add.reduceat(keep_tok.astype(np.int64), starts)
+        dlv = np.repeat(dl_doc, counts)
+        return tid, terms, keep_tok, docv, posv, dlv
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
         seg_id = TaskContext.get().partitionId()
 
-        term_chunks: list[list[str]] = []
-        doc_chunks: list[np.ndarray] = []
-        pos_chunks: list[np.ndarray] = []
-        tok_counts: list[int] = []
+        slow_only = force_slow or keyword or analyzer is not None
+        mode = "slow" if slow_only else None
+        slow_acc = ([], [], [], [])  # term_chunks, doc_chunks, pos, counts
+        std = ([], [], [])           # raw chunks, counts, doc_ids
+        cod = ([], [], [])
 
         for pdf in batches:
-            langs = pdf[lang_col] if lang_col else [None] * len(pdf)
-            for doc_id, text, lg in zip(pdf[id_col], pdf[text_col], langs):
-                if keyword:
-                    toks = [] if text is None else [(str(text), 0)]
-                elif (not isinstance(text, str) and text is not None
-                        and hasattr(text, "__iter__")):
-                    # multi-valued field (array<string> column):
-                    # positionIncrementGap between instances
-                    # (Analyzer.cs:108-126)
-                    from ..analysis.tokenizers import tokenize_values
-                    vals = list(text)
-                    if fold:
-                        from ..analysis.folding import fold_ascii_py
-                        vals = [fold_ascii_py(v) if v is not None else None
-                                for v in vals]
-                    toks = tokenize_values(vals, lg,
-                                           gap=position_increment_gap)
-                else:
-                    if fold and text is not None:
-                        from ..analysis.folding import fold_ascii_py
-                        text = fold_ascii_py(text)
-                    toks = (analyzer(text) if analyzer is not None
-                            else tokenize(text, lg))
-                n = len(toks)
-                if n == 0:
-                    continue
-                term_chunks.append([t for t, _ in toks])
-                pos_chunks.append(
-                    np.fromiter((p for _, p in toks), np.int64, n))
-                doc_chunks.append(np.full(n, int(doc_id), np.int64))
-                tok_counts.append(n)
+            if mode is None:
+                # decide once from the first non-null value; Spark column
+                # types are uniform, so one probe settles str vs array
+                for v in pdf[text_col]:
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    mode = ("slow" if not isinstance(v, str) else "fast")
+                    break
+                if mode is None:
+                    continue  # all-null batch: contributes nothing
+            if mode == "slow":
+                _slow_accumulate(pdf, slow_acc)
+            else:
+                _fast_accumulate(pdf, std, cod)
 
-        if not term_chunks:
+        if mode == "slow" and slow_acc[0]:
+            import itertools
+            term_chunks, doc_chunks, pos_chunks, tok_counts = slow_acc
+            tid, uniq_terms = pd.factorize(
+                pd.Series(list(itertools.chain.from_iterable(term_chunks))),
+                sort=False)
+            tid = tid.astype(np.int64)
+            uniq_terms = np.asarray(uniq_terms, object)
+            docv = np.concatenate(doc_chunks)
+            posv = np.concatenate(pos_chunks)
+            # dl per token = emitted-token count of its doc (the .nrm norm)
+            ns = np.asarray(tok_counts, np.int64)
+            dlv = np.repeat(ns, ns)
+        elif mode == "fast" and (std[0] or cod[0]):
+            from ..analysis.tokenizers import (
+                ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, _std_transform)
+
+            def _tx_std(u):
+                t = _std_transform(u)
+                return t, (len(t) <= MAX_TOKEN_LENGTH
+                           and t not in ENGLISH_STOP_WORDS)
+
+            def _tx_code(u):
+                # tokenize_code: length test on the RAW sub-token,
+                # lowercase on emit
+                return u.lower(), len(u) <= MAX_TOKEN_LENGTH
+
+            parts = []
+            if std[0]:
+                parts.append(_fast_stream(std, _tx_std))
+            if cod[0]:
+                parts.append(_fast_stream(cod, _tx_code))
+            # merge the two vocabularies into one id space (the same term
+            # can appear under both analyzers within a partition)
+            vocabs = [p[1] for p in parts]
+            gid, uniq_terms = pd.factorize(np.concatenate(vocabs)
+                                           if len(vocabs) > 1 else vocabs[0],
+                                           sort=False)
+            gid = gid.astype(np.int64)
+            uniq_terms = np.asarray(uniq_terms, object)
+            off, remapped = 0, []
+            for p in parts:
+                remapped.append(gid[off:off + len(p[1])][p[0]])
+                off += len(p[1])
+            keep = np.concatenate([p[2] for p in parts])
+            tid = np.concatenate(remapped)[keep]
+            docv = np.concatenate([p[3] for p in parts])[keep]
+            posv = np.concatenate([p[4] for p in parts])[keep]
+            dlv = np.concatenate([p[5] for p in parts])[keep]
+            if len(tid) == 0:
+                yield pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA])
+                return
+        else:
             yield pd.DataFrame(columns=[f.name for f in SEGMENT_SCHEMA])
             return
-
-        import itertools
-        tid, uniq_terms = pd.factorize(
-            pd.Series(list(itertools.chain.from_iterable(term_chunks))),
-            sort=False)
-        tid = tid.astype(np.int64)
-        docv = np.concatenate(doc_chunks)
-        posv = np.concatenate(pos_chunks)
-        # dl per token = emitted-token count of its doc (the .nrm norm)
-        ns = np.asarray(tok_counts, np.int64)
-        dlv = np.repeat(ns, ns)
 
         order = np.lexsort((posv, docv, tid))
         tid, docv, posv, dlv = tid[order], docv[order], posv[order], dlv[order]
@@ -166,10 +288,7 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
         else:
             pos_blobs = [b""] * len(tstart)
 
-        blocks = [
-            codec.block_maxes(p_doc[s:s + c], tfs[s:s + c], p_dl[s:s + c])
-            for s, c in zip(tstart, df_t)
-        ]
+        blocks = codec.block_maxes_all(p_doc, tfs, p_dl, tstart, df_t)
         yield pd.DataFrame({
             "field": field_name,
             "term": uniq_terms[p_tid[tstart]],
