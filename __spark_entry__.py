@@ -129,6 +129,83 @@ def _ft_email_term(spark, sf_dir):
     return _email_searcher(spark, sf_dir).search(q, K)
 
 
+_ANALYZER_CACHE: dict[tuple, tuple] = {}
+
+
+def _analyzer_searcher(spark: SparkSession, sf_dir: str, kind: str) -> Searcher:
+    """Index built with a contrib analyzer (Shingle / NGram / EdgeNGram,
+    src/contrib/Analyzers/{Shingle,NGram}/) through the builders'
+    `analyzer=` extension seam (SURVEY §2.12) — word and char n-grams as
+    first-class index terms feeding the ordinary BM25 search path."""
+    from lucenenet_spark.analysis import shingle as sh
+    hit = _ANALYZER_CACHE.get((sf_dir, kind))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    an = {"shingle": sh.shingle_analyzer(max_shingle=2),
+          "ngram": sh.ngram_analyzer(1, 2),
+          "edge": sh.edge_ngram_analyzer(2, 4)}[kind]
+    idx = build_segmented_index(
+        spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        field_name="text", analyzer=an,
+    )
+    s = Searcher(idx)
+    _ANALYZER_CACHE[(sf_dir, kind)] = (spark, s)
+    return s
+
+
+def _ft_shingle_bigram(spark, sf_dir):
+    return _analyzer_searcher(spark, sf_dir, "shingle").search(
+        ast.Term("table scan"), K)
+
+
+def _ft_ngram_term(spark, sf_dir):
+    return _analyzer_searcher(spark, sf_dir, "ngram").search(
+        ast.Term("rk"), K)
+
+
+def _ft_edge_ngram(spark, sf_dir):
+    return _analyzer_searcher(spark, sf_dir, "edge").search(
+        ast.Term("spar"), K)
+
+
+_PAYLOAD_CACHE: dict[str, tuple] = {}
+
+
+def _payload_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index carrying per-position float payloads (Payload.cs) through the
+    DelimitedPayloadTokenFilter chain (DelimitedPayloadTokenFilter.cs:
+    34-47): payload text "token|length(token)" is derived deterministically
+    from the raw text in-plan, so the DuckDB oracle recomputes the same
+    (term, pos, payload) stream from the base table directly."""
+    hit = _PAYLOAD_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from lucenenet_spark.analysis.payloads import delimited_payload_analyzer
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("|"), F.length(t)))).alias("text"))
+    idx = build_segmented_index(
+        spark, d, text_col="text", id_col="doc_id", field_name="text",
+        analyzer=delimited_payload_analyzer(),
+    )
+    s = Searcher(idx)
+    _PAYLOAD_CACHE[sf_dir] = (spark, s)
+    return s
+
+
+def _ft_payload_term(spark, sf_dir):
+    return _payload_searcher(spark, sf_dir).search(
+        ast.PayloadTerm("merge", fn="max"), K)
+
+
+def _ft_payload_near(spark, sf_dir):
+    return _payload_searcher(spark, sf_dir).search(
+        ast.PayloadNear(("table", "scan"), slop=2, in_order=True, fn="avg"),
+        K)
+
+
 _PARSER = QueryParser(default_field="text", keyword_fields={"source"},
                       slop_spec="all_tuples")
 
@@ -366,12 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term": _search(ast.Term("spark")),
         "ft_lang_term": _ft_lang_term,
         "ft_bool_and": _search(ast.Bool(must=(ast.Term("spark"), ast.Term("merge")))),
-        "ft_bool_or": _search(
-            ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
-        ),
-        "ft_bool_not": _search(
-            ast.Bool(must=(ast.Term("table"),), must_not=(ast.Term("vector"),))
-        ),
+        # (ft_bool_or / ft_bool_not moved to overflow: their machinery is
+        # covered here by ft_bool_msm's should-clauses and qp_bool's
+        # must_not — freeing two driver slots for the round-3 families)
         "ft_bool_msm": _search(
             ast.Bool(
                 should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")),
@@ -409,6 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.SpanNear((ast.SpanTerm("table"), ast.SpanTerm("hash")),
                          slop=2, in_order=True),
             ast.SpanTerm("merge"))),
+        # --- payload queries (SURVEY.md §2.4, Search/Payloads/) ---
+        "ft_payload_term": _ft_payload_term,
+        # --- contrib Shingle analyzer (src/contrib/Analyzers/Shingle/) ---
+        "ft_shingle_bigram": _ft_shingle_bigram,
         "ft_field_score": _search(ast.FieldScore("n_chars", boost=0.01)),
         "ft_custom_score": _search(
             ast.CustomScore(ast.Term("spark"), ("n_chars",), boost=0.001)
@@ -453,6 +531,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window (verified by pytest tests/test_entry_parity.py and
         # tools/check_correctness.py instead) ---
         "ft_term_rare": _search(ast.Term("dup")),
+        "ft_bool_or": _search(
+            ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
+        ),
+        "ft_bool_not": _search(
+            ast.Bool(must=(ast.Term("table"),), must_not=(ast.Term("vector"),))
+        ),
+        "ft_payload_near": _ft_payload_near,
         "ft_bool_boost": _search(
             ast.Bool(should=(ast.Term("spark", boost=2.0), ast.Term("merge")))
         ),
@@ -469,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_tfidf_term": _tfidf_search(ast.Term("spark")),
         "qp_phrase": _parsed('"spark merge"~3'),
         "ft_seg_term": _ft_seg_term,
+        # contrib Shingle / NGram / EdgeNGram analyzers (What's-missing #4)
+        "ft_ngram_term": _ft_ngram_term,
+        "ft_edge_ngram": _ft_edge_ngram,
     }
 
 
@@ -569,4 +657,11 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode": g.mm_decode_meta(),
         "mm_img_feat": g.mm_image_features(16),
         "mm_frames": g.mm_frame_sample(),
+        "ft_payload_term": g.payload_term_query("merge", fn="max", k=K),
+        "ft_payload_near": g.payload_near_query(
+            ["table", "scan"], slop=2, in_order=True, fn="avg", k=K),
+        "ft_shingle_bigram": g.shingle_term_query("table scan", K),
+        "ft_ngram_term": g.ngram_term_query("rk", K, min_gram=1, max_gram=2),
+        "ft_edge_ngram": g.edge_ngram_term_query("spar", K, min_gram=2,
+                                                 max_gram=4),
     }

@@ -268,9 +268,11 @@ def merge_postings(parts: list[dict]):
     """k-way merge of already-sorted per-segment posting lists for ONE
     (field, term): concatenate + argsort by doc_id (SegmentMerger.
     AppendPostings analogue, src/Lucene.Net/Index/SegmentMerger.cs:801-848;
-    docIDs are globally unique here so no rebase is needed)."""
-    doc_l, tf_l, dl_l, pos_l = [], [], [], []
+    docIDs are globally unique here so no rebase is needed).  Payload blobs
+    (fixed-width float32 per position) reorder alongside positions."""
+    doc_l, tf_l, dl_l, pos_l, pay_l = [], [], [], [], []
     has_pos = True
+    has_pay = True
     for p in parts:
         d, t, l, po = decode_postings(p["docs_blob"], p["tfs_blob"],
                                       p["dls_blob"], p["pos_blob"] or b"")
@@ -280,12 +282,17 @@ def merge_postings(parts: list[dict]):
         if po is None:
             has_pos = False
         pos_l.append(po)
+        pb = p.get("pay_blob") or b""
+        if len(pb) == 0 and t.sum() > 0:
+            has_pay = False
+        pay_l.append(np.frombuffer(pb, "<f4"))
     docs = np.concatenate(doc_l)
     tfs = np.concatenate(tf_l)
     dls = np.concatenate(dl_l)
     order = np.argsort(docs, kind="stable")
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     pos_flat = None
+    pay_blob = b""
     if has_pos and pos_l and all(p is not None for p in pos_l):
         # reorder the flattened positions doc-wise
         all_pos = np.concatenate(pos_l) if pos_l else np.empty(0, np.int64)
@@ -294,4 +301,12 @@ def merge_postings(parts: list[dict]):
         chunks = [all_pos[starts[i]:starts[i] + all_tfs[i]] for i in order]
         pos_flat = (np.concatenate(chunks) if chunks
                     else np.empty(0, np.int64))
-    return encode_postings(docs, tfs, dls, pos_flat)
+        if has_pay:
+            all_pay = np.concatenate(pay_l)
+            pchunks = [all_pay[starts[i]:starts[i] + all_tfs[i]]
+                       for i in order]
+            pay_blob = (np.concatenate(pchunks) if pchunks
+                        else np.empty(0, "<f4")).astype("<f4").tobytes()
+    out = encode_postings(docs, tfs, dls, pos_flat)
+    out["pay_blob"] = pay_blob
+    return out

@@ -52,6 +52,9 @@ SEGMENT_SCHEMA = T.StructType([
     T.StructField("tfs_blob", T.BinaryType(), False),
     T.StructField("dls_blob", T.BinaryType(), False),
     T.StructField("pos_blob", T.BinaryType(), True),
+    # per-position float32 payloads aligned with the pos stream (Payload.cs;
+    # fixed-width, so merge concat needs no re-splice); b"" when absent
+    T.StructField("pay_blob", T.BinaryType(), True),
     T.StructField("blocks", T.ArrayType(T.StructType([
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
@@ -92,7 +95,7 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
     keyword_cols."""
 
     def _slow_accumulate(pdf, acc):
-        term_chunks, doc_chunks, pos_chunks, tok_counts = acc
+        term_chunks, doc_chunks, pos_chunks, tok_counts, pay_chunks = acc
         langs = pdf[lang_col] if lang_col else [None] * len(pdf)
         for doc_id, text, lg in zip(pdf[id_col], pdf[text_col], langs):
             if keyword:
@@ -119,11 +122,16 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
             n = len(toks)
             if n == 0:
                 continue
-            term_chunks.append([t for t, _ in toks])
+            term_chunks.append([t[0] for t in toks])
             pos_chunks.append(
-                np.fromiter((p for _, p in toks), np.int64, n))
+                np.fromiter((t[1] for t in toks), np.int64, n))
             doc_chunks.append(np.full(n, int(doc_id), np.int64))
             tok_counts.append(n)
+            # analyzers may emit (term, pos, payload) triples
+            # (analysis/payloads.py; PayloadAttribute.cs)
+            pay_chunks.append(
+                np.fromiter((t[2] for t in toks), np.float32, n)
+                if len(toks[0]) == 3 else None)
 
     def _fast_accumulate(pdf, std, cod):
         from ..analysis.tokenizers import (
@@ -184,7 +192,7 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
 
         slow_only = force_slow or keyword or analyzer is not None
         mode = "slow" if slow_only else None
-        slow_acc = ([], [], [], [])  # term_chunks, doc_chunks, pos, counts
+        slow_acc = ([], [], [], [], [])  # terms, docs, pos, counts, payloads
         std = ([], [], [])           # raw chunks, counts, doc_ids
         cod = ([], [], [])
 
@@ -204,9 +212,11 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
             else:
                 _fast_accumulate(pdf, std, cod)
 
+        payv = None
         if mode == "slow" and slow_acc[0]:
             import itertools
-            term_chunks, doc_chunks, pos_chunks, tok_counts = slow_acc
+            term_chunks, doc_chunks, pos_chunks, tok_counts, pay_chunks = \
+                slow_acc
             tid, uniq_terms = pd.factorize(
                 pd.Series(list(itertools.chain.from_iterable(term_chunks))),
                 sort=False)
@@ -214,6 +224,8 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
             uniq_terms = np.asarray(uniq_terms, object)
             docv = np.concatenate(doc_chunks)
             posv = np.concatenate(pos_chunks)
+            if all(c is not None for c in pay_chunks):
+                payv = np.concatenate(pay_chunks)
             # dl per token = emitted-token count of its doc (the .nrm norm)
             ns = np.asarray(tok_counts, np.int64)
             dlv = np.repeat(ns, ns)
@@ -262,6 +274,8 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
 
         order = np.lexsort((posv, docv, tid))
         tid, docv, posv, dlv = tid[order], docv[order], posv[order], dlv[order]
+        if payv is not None:
+            payv = payv[order]
 
         # posting boundaries: (term, doc) run starts; term boundaries
         newpost = np.ones(len(tid), bool)
@@ -287,6 +301,16 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
                 codec.segmented_delta_encode(posv, pstart), ttf_t)
         else:
             pos_blobs = [b""] * len(tstart)
+        if payv is not None and positions:
+            # fixed-width float32 stream aligned with the position stream:
+            # one buffer pass, memoryview slices per term
+            pay_all = payv.astype("<f4").tobytes()
+            ends4 = np.cumsum(ttf_t) * 4
+            starts4 = ends4 - ttf_t * 4
+            mv = memoryview(pay_all)
+            pay_blobs = [bytes(mv[s:e]) for s, e in zip(starts4, ends4)]
+        else:
+            pay_blobs = [b""] * len(tstart)
 
         blocks = codec.block_maxes_all(p_doc, tfs, p_dl, tstart, df_t)
         yield pd.DataFrame({
@@ -299,6 +323,7 @@ def _invert_partition(field_name: str, id_col: str, text_col: str,
             "tfs_blob": tfs_blobs,
             "dls_blob": dls_blobs,
             "pos_blob": pos_blobs,
+            "pay_blob": pay_blobs,
             "blocks": blocks,
         })
 
@@ -352,6 +377,9 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     tfs_bl = [bytes(b) for b in pdf["tfs_blob"]]
     dls_bl = [bytes(b) for b in pdf["dls_blob"]]
     pos_bl = [bytes(b) if b is not None else b"" for b in pdf["pos_blob"]]
+    pay_bl = ([bytes(b) if b is not None else b"" for b in pdf["pay_blob"]]
+              if "pay_blob" in pdf.columns  # pre-payload segment frames
+              else [b""] * len(pdf))
     blocks_l = [list(b) if b is not None else [] for b in pdf["blocks"]]
     first_doc = [(_first_varint(b)[0] if b else -1) for b in docs_bl]
     first_len = [(_first_varint(b)[1] if b else 0) for b in docs_bl]
@@ -364,7 +392,7 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     out: dict[str, list] = {k: [] for k in (
         "field", "term", "seg_id", "df", "ttf", "docs_blob", "tfs_blob",
-        "dls_blob", "pos_blob", "blocks")}
+        "dls_blob", "pos_blob", "pay_blob", "blocks")}
 
     for gi in range(len(bounds) - 1):
         s, e = bounds[gi], bounds[gi + 1]
@@ -379,10 +407,13 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     codec.varint_encode(np.array([delta], np.uint64))
                     + docs_bl[r][first_len[r]:])
             has_pos = all(len(pos_bl[r]) > 0 or ttfs[r] == 0 for r in rows)
+            has_pay = all(len(pay_bl[r]) > 0 or ttfs[r] == 0 for r in rows)
             out["docs_blob"].append(b"".join(dparts))
             out["tfs_blob"].append(b"".join(tfs_bl[s:e]))
             out["dls_blob"].append(b"".join(dls_bl[s:e]))
             out["pos_blob"].append(b"".join(pos_bl[s:e]) if has_pos else b"")
+            # fixed-width payload stream: plain concat in segment order
+            out["pay_blob"].append(b"".join(pay_bl[s:e]) if has_pay else b"")
             out["df"].append(int(dfs[s:e].sum()))
             out["ttf"].append(int(ttfs[s:e].sum()))
             blk: list = []
@@ -392,10 +423,11 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         else:
             m = codec.merge_postings([
                 {"docs_blob": docs_bl[r], "tfs_blob": tfs_bl[r],
-                 "dls_blob": dls_bl[r], "pos_blob": pos_bl[r]}
+                 "dls_blob": dls_bl[r], "pos_blob": pos_bl[r],
+                 "pay_blob": pay_bl[r]}
                 for r in rows])
             for k in ("df", "ttf", "docs_blob", "tfs_blob", "dls_blob",
-                      "pos_blob", "blocks"):
+                      "pos_blob", "pay_blob", "blocks"):
                 out[k].append(m[k])
         out["field"].append(fld[s])
         out["term"].append(trm[s])
@@ -408,7 +440,7 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         "ttf": np.asarray(out["ttf"], np.int64),
         "docs_blob": out["docs_blob"], "tfs_blob": out["tfs_blob"],
         "dls_blob": out["dls_blob"], "pos_blob": out["pos_blob"],
-        "blocks": out["blocks"],
+        "pay_blob": out["pay_blob"], "blocks": out["blocks"],
     })
 
 
@@ -453,6 +485,7 @@ class SegmentedIndex:
     tombstones: DataFrame | None = None
     _postings: DataFrame | None = dc_field(default=None, repr=False)
     _postings_nopos: DataFrame | None = dc_field(default=None, repr=False)
+    _postings_pay: DataFrame | None = dc_field(default=None, repr=False)
     _term_stats: DataFrame | None = dc_field(default=None, repr=False)
 
     @property
@@ -508,6 +541,31 @@ class SegmentedIndex:
                         F.col("_p.dl").alias("dl"))
             )
         return self._postings_nopos
+
+    @property
+    def postings_payloads(self) -> DataFrame:
+        """Decoded view WITH per-position payloads
+        (field, term, doc_id, tf, dl, positions, payloads) — the
+        Payload*Query read path.  Same decode-below-predicate shape as
+        `postings`; payloads is null for terms indexed without them."""
+        if self._postings_pay is None:
+            dec = _decode_pay_udf()
+            z = dec(F.col("docs_blob"), F.col("tfs_blob"),
+                    F.col("dls_blob"), F.col("pos_blob"), F.col("pay_blob"))
+            self._postings_pay = (
+                self.segments
+                .withColumn("_p", F.explode(F.arrays_zip(
+                    z["docs"].alias("doc_id"), z["tfs"].alias("tf"),
+                    z["dls"].alias("dl"), z["pos"].alias("positions"),
+                    z["pay"].alias("payloads"))))
+                .select("field", "term",
+                        F.col("_p.doc_id").alias("doc_id"),
+                        F.col("_p.tf").alias("tf"),
+                        F.col("_p.dl").alias("dl"),
+                        F.col("_p.positions").alias("positions"),
+                        F.col("_p.payloads").alias("payloads"))
+            )
+        return self._postings_pay
 
     def postings_for_terms(self, term_frame: DataFrame,
                            positions: bool = False) -> DataFrame:
@@ -631,8 +689,11 @@ class SegmentedIndex:
              stored: DataFrame | None = None) -> "SegmentedIndex":
         with open(os.path.join(path, "stats.json")) as f:
             meta = json.load(f)
+        seg = spark.read.parquet(os.path.join(path, "segments"))
+        if "pay_blob" not in seg.columns:  # pre-payload on-disk layout
+            seg = seg.withColumn("pay_blob", F.lit(b""))
         return cls(spark=spark,
-                   segments=spark.read.parquet(os.path.join(path, "segments")),
+                   segments=seg,
                    stats=IndexStats(meta["n_docs"], meta["total_tokens"]),
                    stored=stored, id_col=meta["id_col"],
                    fields=tuple(meta["fields"]))
@@ -687,6 +748,50 @@ def _decode_udf():
                 pos_o.append(None)
         return pd.DataFrame({"docs": docs_o, "tfs": tfs_o,
                              "dls": dls_o, "pos": pos_o})
+    return dec
+
+
+_DECODE_PAY_SCHEMA = T.StructType([
+    T.StructField("docs", T.ArrayType(T.LongType())),
+    T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    T.StructField("dls", T.ArrayType(T.IntegerType())),
+    T.StructField("pos", T.ArrayType(T.ArrayType(T.IntegerType()))),
+    T.StructField("pay", T.ArrayType(T.ArrayType(T.FloatType()))),
+])
+
+
+def _decode_pay_udf():
+    """Positions + per-position payloads (the TermPositions.GetPayload
+    read path, src/Lucene.Net/Index/SegmentTermPositions.cs:213-236):
+    payload floats are a fixed-width stream aligned with the position
+    stream, sliced per doc by tf."""
+    @F.pandas_udf(_DECODE_PAY_SCHEMA)
+    def dec(docs_b: pd.Series, tfs_b: pd.Series, dls_b: pd.Series,
+            pos_b: pd.Series, pay_b: pd.Series) -> pd.DataFrame:
+        docs_o, tfs_o, dls_o, pos_o, pay_o = [], [], [], [], []
+        for db, tb, lb, pb, yb in zip(docs_b, tfs_b, dls_b, pos_b, pay_b):
+            d, t, l, p = codec.decode_postings(
+                bytes(db), bytes(tb), bytes(lb), bytes(pb) if pb else b"")
+            docs_o.append(d.tolist())
+            tfs_o.append(t.tolist())
+            dls_o.append(l.tolist())
+            # per-doc None (not a NULL top-level array) when absent:
+            # arrays_zip of a NULL array is NULL and the explode would
+            # silently drop the whole posting list
+            if p is not None:
+                starts = np.concatenate([[0], np.cumsum(t)[:-1]])
+                pos_o.append([p[s:s + c].tolist()
+                              for s, c in zip(starts, t)])
+                y = np.frombuffer(bytes(yb), "<f4") if yb else None
+                pay_o.append([y[s:s + c].tolist()
+                              for s, c in zip(starts, t)]
+                             if y is not None and len(y) == len(p)
+                             else [None] * len(d))
+            else:
+                pos_o.append([None] * len(d))
+                pay_o.append([None] * len(d))
+        return pd.DataFrame({"docs": docs_o, "tfs": tfs_o, "dls": dls_o,
+                             "pos": pos_o, "pay": pay_o})
     return dec
 
 
@@ -889,7 +994,8 @@ def update_documents(
     index.unpersist_derived()
     return replace(index, segments=index.segments.unionByName(seg2),
                    stats=stats, stored=stored_new, tombstones=tomb,
-                   _postings=None, _postings_nopos=None, _term_stats=None)
+                   _postings=None, _postings_nopos=None,
+                   _postings_pay=None, _term_stats=None)
 
 
 def _latest_committed_wave(ckpt: str) -> int | None:
@@ -952,7 +1058,8 @@ def add_indexes(base: SegmentedIndex, *others: SegmentedIndex) -> SegmentedIndex
         o.unpersist_derived()
     return replace(base, segments=seg, stored=stored, tombstones=tomb,
                    stats=IndexStats(n_docs=n_docs, total_tokens=total),
-                   _postings=None, _postings_nopos=None, _term_stats=None)
+                   _postings=None, _postings_nopos=None,
+                   _postings_pay=None, _term_stats=None)
 
 
 def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
@@ -979,12 +1086,13 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
         for pdf in batches:
             out = {k: [] for k in (
                 "field", "term", "seg_id", "df", "ttf", "docs_blob",
-                "tfs_blob", "dls_blob", "pos_blob", "blocks")}
+                "tfs_blob", "dls_blob", "pos_blob", "pay_blob", "blocks")}
             for row in pdf.itertuples(index=False):
                 docs, tfs, dls, pos = codec.decode_postings(
                     bytes(row.docs_blob), bytes(row.tfs_blob),
                     bytes(row.dls_blob),
                     bytes(row.pos_blob) if row.pos_blob else b"")
+                pay = bytes(row.pay_blob) if row.pay_blob else b""
                 hit = np.isin(docs, dead)
                 if not hit.any():
                     enc = {"df": int(row.df), "ttf": int(row.ttf),
@@ -993,21 +1101,25 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
                            "dls_blob": bytes(row.dls_blob),
                            "pos_blob": (bytes(row.pos_blob)
                                         if row.pos_blob else b""),
+                           "pay_blob": pay,
                            "blocks": (list(row.blocks)
                                       if row.blocks is not None else [])}
                 else:
                     keep = ~hit
                     if not keep.any():
                         continue  # whole posting list was deleted docs
-                    pk = (pos[np.repeat(keep, tfs)]
-                          if pos is not None else None)
+                    tok_keep = np.repeat(keep, tfs)
+                    pk = pos[tok_keep] if pos is not None else None
                     enc = codec.encode_postings(
                         docs[keep], tfs[keep], dls[keep], pk)
+                    enc["pay_blob"] = (
+                        np.frombuffer(pay, "<f4")[tok_keep]
+                        .astype("<f4").tobytes() if pay else b"")
                 out["field"].append(row.field)
                 out["term"].append(row.term)
                 out["seg_id"].append(int(row.seg_id))
                 for k in ("df", "ttf", "docs_blob", "tfs_blob",
-                          "dls_blob", "pos_blob", "blocks"):
+                          "dls_blob", "pos_blob", "pay_blob", "blocks"):
                     out[k].append(enc[k])
             yield pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA])
 
@@ -1025,7 +1137,7 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
     index.unpersist_derived()
     return replace(index, segments=seg2, stats=stats, stored=stored_new,
                    tombstones=None, _postings=None, _postings_nopos=None,
-                   _term_stats=None)
+                   _postings_pay=None, _term_stats=None)
 
 
 def _commit_wave(spark: SparkSession, seg: DataFrame, ckpt: str, wave: int,

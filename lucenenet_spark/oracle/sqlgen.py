@@ -998,3 +998,241 @@ n AS (SELECT id, text, least(greatest(dur // {every_ms}, 1), {max_frames}) AS nf
 fr AS (SELECT id, text, unnest(range(nf)) AS i FROM n)
 SELECT id, i::INT AS frame_idx, sha256(text || i::VARCHAR) AS frame_sha
 FROM fr"""
+
+
+# ---- contrib Shingle / NGram analyzers (analysis/shingle.py) ---------
+
+def _shingle_ctes(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Index-in-SQL for the shingle analyzer (max_shingle=2, unigrams on):
+    the stream-with-fillers re-created relationally — raw position space,
+    '_' at stop/length holes (ShingleFilter.FILLER_TOKEN), truncated at
+    the last surviving token (trailing holes drop at end-of-stream), then
+    tokens = unigrams UNION bigrams-at-head-position."""
+    live = f"length(term) <= 255 AND term NOT IN ({STOPLIST_SQL})"
+    return f"""
+tk AS (
+  SELECT {id_col} AS doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT {id_col},
+               list_transform(
+                 regexp_extract_all(lower({text_col}), '{_STD_ALT_SQL}'),
+                 t -> {_STD_XF}) AS toks
+        FROM {table})
+),
+rawt AS (
+  SELECT doc_id, pos,
+         CASE WHEN {live} THEN term ELSE '_' END AS term,
+         ({live}) AS live
+  FROM tk
+),
+lastp AS (SELECT doc_id, max(pos) AS lp FROM rawt WHERE live GROUP BY doc_id),
+strm AS (SELECT r.doc_id, r.pos, r.term
+         FROM rawt r JOIN lastp l USING (doc_id) WHERE r.pos <= l.lp),
+tokens AS (
+  SELECT doc_id, term, pos FROM strm
+  UNION ALL
+  SELECT s1.doc_id, s1.term || ' ' || s2.term AS term, s1.pos
+  FROM strm s1 JOIN strm s2
+    ON s1.doc_id = s2.doc_id AND s2.pos = s1.pos + 1
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM tokens)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl
+  FROM tokens t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)"""
+
+
+def shingle_term_query(term: str, k: int = 10, boost: float = 1.0,
+                       table: str = "documents") -> str:
+    """BM25 top-k for one term (uni- or bigram) on the SHINGLED index."""
+    return f"""WITH {_shingle_ctes(table)}
+SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+def ngram_term_query(term: str, k: int = 10, min_gram: int = 1,
+                     max_gram: int = 2, boost: float = 1.0,
+                     table: str = "documents") -> str:
+    """BM25 top-k for one char n-gram on the NGramTokenizer index
+    (grams of the RAW text — the tokenizer neither lowercases nor
+    filters, NGramTokenizer.cs:96-118)."""
+    return f"""WITH sizes AS (
+  SELECT doc_id, text,
+         unnest(range({min_gram}, {max_gram} + 1))::INT AS n
+  FROM {table}
+),
+ix AS (
+  SELECT doc_id, text, n,
+         unnest(range(1, greatest(length(text) - n + 1, 0) + 1))::INT AS i
+  FROM sizes
+),
+tokens AS (SELECT doc_id, substr(text, i, n) AS term FROM ix),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM tokens)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl
+  FROM tokens t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+def _payload_ctes(table: str = "documents", id_col: str = "doc_id",
+                  text_col: str = "text") -> str:
+    """Index-in-SQL for the delimited-payload chain (analysis/payloads.py:
+    WhitespaceTokenizer -> DelimitedPayloadTokenFilter(FloatEncoder),
+    DelimitedPayloadTokenFilter.cs:34-47).  The contract entries feed the
+    analyzer text of the form "token|length(token)" derived from the raw
+    text, so the oracle recomputes the SAME (term, pos, payload) stream
+    directly: whitespace tokens of the raw text, payload = token length."""
+    return f"""
+ptok AS (
+  SELECT doc_id, term, pos, length(term)::DOUBLE AS pay FROM (
+    SELECT {id_col} AS doc_id, unnest(toks) AS term,
+           generate_subscripts(toks, 1) - 1 AS pos
+    FROM (SELECT {id_col}, string_split({text_col}, ' ') AS toks
+          FROM {table}))
+  WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM ptok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM ptok)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl,
+         sum(t.pay) AS pay_sum, min(t.pay) AS pay_min, max(t.pay) AS pay_max
+  FROM ptok t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)"""
+
+
+def _pay_agg(fn: str, pay_sum: str, pay_min: str, pay_max: str,
+             pay_cnt: str) -> str:
+    """PayloadFunction.DocScore (Search/Payloads/{Average,Min,Max}
+    PayloadFunction.cs) — engine mirror `_payload_doc_score`."""
+    agg = {"avg": f"({pay_sum}) / ({pay_cnt})", "min": pay_min,
+           "max": pay_max}[fn]
+    return f"CASE WHEN {pay_cnt} > 0 THEN {agg} ELSE 1.0 END"
+
+
+def payload_term_query(term: str, fn: str = "avg", k: int = 10,
+                       boost: float = 1.0, include_span_score: bool = True,
+                       table: str = "documents") -> str:
+    """PayloadTermQuery (PayloadTermQuery.cs:124-199): each occurrence is
+    a width-1 span (sloppyFreq contribution 1/(1+1) per the engine span
+    convention), BM25 freq-normalized, times the PayloadFunction DocScore
+    over the occurrences' payloads."""
+    pay = _pay_agg(fn, "p.pay_sum", "p.pay_min", "p.pay_max", "p.tf")
+    span = (f"ln(1 + (st.n - f.df + 0.5)/(f.df + 0.5)) * "
+            f"(0.5 * p.tf * {K1 + 1.0}) / "
+            f"(0.5 * p.tf + {K1} * ({1.0 - B} + {B} * p.dl / st.avgdl))")
+    score = (f"{boost} * ({span}) * ({pay})" if include_span_score
+             else f"{boost} * ({pay})")
+    return f"""WITH {_payload_ctes(table)}
+SELECT p.doc_id, round({score}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+def payload_near_query(terms: list[str], slop: int = 0,
+                       in_order: bool = True, fn: str = "avg",
+                       k: int = 10, boost: float = 1.0,
+                       table: str = "documents") -> str:
+    """PayloadNearQuery (PayloadNearQuery.cs:38-52, scorer :200-261):
+    enumerate every clause-position tuple satisfying order+slop (the
+    engine's span-enumeration convention, `_payload_near_frame` — NO
+    distinct-(s,e) collapse: every tuple contributes its sloppyFreq AND
+    feeds all leaf payloads to the PayloadFunction)."""
+    n = len(terms)
+    joins = []
+    for i, t in enumerate(terms):
+        if i == 0:
+            continue
+        cond = f"t{i}.doc_id = t0.doc_id AND t{i}.term = '{t}'"
+        if in_order:
+            cond += f" AND t{i}.pos >= t{i - 1}.pos + 1"
+        joins.append(f"JOIN ptok t{i} ON {cond}")
+    uno = ""
+    if not in_order:
+        pairs = [f"t{i}.pos <> t{m}.pos"
+                 for i in range(n) for m in range(i + 1, n)]
+        uno = " AND " + " AND ".join(pairs) if pairs else ""
+    poss = ", ".join(f"t{i}.pos" for i in range(n))
+    pays = " + ".join(f"t{i}.pay" for i in range(n))
+    pmin = (f"least({', '.join(f't{i}.pay' for i in range(n))})"
+            if n > 1 else "t0.pay")
+    pmax = (f"greatest({', '.join(f't{i}.pay' for i in range(n))})"
+            if n > 1 else "t0.pay")
+    idfv = ",".join(f"('{t}')" for t in terms)
+    pay = _pay_agg(fn, "g.pay_sum", "g.pay_min", "g.pay_max", "g.pay_cnt")
+    return f"""WITH {_payload_ctes(table)},
+idfv AS (
+  SELECT sum(ln(1 + (st.n - f.df + 0.5)/(f.df + 0.5))) AS v
+  FROM (VALUES {idfv}) q(term) JOIN dfs f USING (term) CROSS JOIN st
+),
+sp AS (
+  SELECT t0.doc_id,
+         least({poss}) AS s, greatest({poss}) + 1 AS e,
+         {pays} AS prow, {pmin} AS prmin, {pmax} AS prmax
+  FROM ptok t0 {' '.join(joins)}
+  WHERE t0.term = '{terms[0]}'{uno}
+    AND (greatest({poss}) + 1 - least({poss})) - {n} <= {slop}
+),
+g AS (
+  SELECT doc_id, sum(1.0/(1.0 + (e - s))) AS freq,
+         sum(prow) AS pay_sum, min(prmin) AS pay_min,
+         max(prmax) AS pay_max, count(*) * {n} AS pay_cnt
+  FROM sp GROUP BY doc_id
+)
+SELECT g.doc_id,
+       round({boost} * idfv.v * (g.freq * {K1 + 1.0}) /
+             (g.freq + {K1} * ({1.0 - B} + {B} * d.dl / st.avgdl)) *
+             ({pay}), 6) AS score
+FROM g JOIN dl d USING (doc_id) CROSS JOIN idfv CROSS JOIN st
+{_topk(k)}"""
+
+
+def edge_ngram_term_query(term: str, k: int = 10, min_gram: int = 1,
+                          max_gram: int = 1, side: str = "front",
+                          boost: float = 1.0,
+                          table: str = "documents") -> str:
+    """BM25 top-k for one edge n-gram (EdgeNGramTokenizer.cs: one gram per
+    size min..max anchored at the front/back of the RAW text)."""
+    gram = ("substr(text, 1, n)" if side == "front"
+            else "substr(text, length(text) - n + 1, n)")
+    return f"""WITH sizes AS (
+  SELECT doc_id, text,
+         unnest(range({min_gram}, {max_gram} + 1))::INT AS n
+  FROM {table}
+),
+tokens AS (SELECT doc_id, {gram} AS term FROM sizes WHERE n <= length(text)),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM tokens)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl
+  FROM tokens t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""

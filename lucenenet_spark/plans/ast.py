@@ -283,6 +283,37 @@ class FieldMaskingSpan(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class PayloadTerm(Query):
+    """PayloadTermQuery (src/Lucene.Net/Search/Payloads/
+    PayloadTermQuery.cs:50-64): a SpanTermQuery whose score multiplies in
+    the per-position payloads at the match positions, aggregated by a
+    PayloadFunction (`fn`: avg | min | max, the three shipped concrete
+    functions).  include_span_score=False returns the payload score alone
+    (PayloadTermQuery.cs Score())."""
+    term: str
+    field: str = DEFAULT_FIELD
+    fn: str = "avg"
+    include_span_score: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PayloadNear(Query):
+    """PayloadNearQuery (src/Lucene.Net/Search/Payloads/
+    PayloadNearQuery.cs:38-52): SpanNear over term clauses; every payload
+    under each matching span feeds the PayloadFunction; final score =
+    span score x payload score.  Clauses are (term) strings — the
+    reference constructor takes SpanTermQuery[] for one field."""
+    terms: tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+    field: str = DEFAULT_FIELD
+    fn: str = "avg"
+    include_span_score: bool = True
+    boost: float = 1.0
+
+
 SPAN_NODES = (SpanTerm, SpanOr, SpanNear, SpanNot, SpanFirst,
               FieldMaskingSpan)
 

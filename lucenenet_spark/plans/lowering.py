@@ -353,6 +353,10 @@ class Searcher:
             return self._custom_score_frame(q)
         if isinstance(q, ast.SPAN_NODES):
             return self._span_score_frame(q)
+        if isinstance(q, ast.PayloadTerm):
+            return self._payload_term_frame(q)
+        if isinstance(q, ast.PayloadNear):
+            return self._payload_near_frame(q)
         raise NotImplementedError(type(q).__name__)
 
     def match_frame(self, q: ast.Query) -> DataFrame:
@@ -828,6 +832,113 @@ class Searcher:
         score = self.sim.freq_score(F.col("freq"), F.col("dl"),
                                     F.col("idf_sum"), self.index.avgdl,
                                     q.boost)
+        return (per_doc.crossJoin(F.broadcast(qstats))
+                .select("doc_id", score.alias("score")))
+
+    # ---- payload queries (SURVEY §2.4, Search/Payloads/)
+
+    @staticmethod
+    def _payload_doc_score(fn: str, pay_sum, pay_min, pay_max, pay_cnt):
+        """PayloadFunction.DocScore (Search/Payloads/{Average,Min,Max}
+        PayloadFunction.cs): aggregate over every payload seen in the doc;
+        1.0 when none were seen (all three concrete functions guard on
+        numPayloadsSeen > 0)."""
+        agg = {"avg": pay_sum / pay_cnt, "min": pay_min,
+               "max": pay_max}[fn]
+        return F.when(pay_cnt > 0, agg).otherwise(F.lit(1.0))
+
+    def _payload_postings(self, field: str, term: str) -> DataFrame:
+        pview = getattr(self.index, "postings_payloads", None)
+        if pview is None:
+            raise TypeError(
+                "payload queries need a payload-carrying SegmentedIndex "
+                "(build with a payload-emitting analyzer, e.g. "
+                "analysis.payloads.delimited_payload_analyzer)")
+        return pview.where((F.col("field") == field)
+                           & (F.col("term") == term))
+
+    def _payload_term_frame(self, q: ast.PayloadTerm) -> DataFrame:
+        """PayloadTermQuery (PayloadTermQuery.cs:124-199): span-term freq
+        (each occurrence is a width-1 span -> sloppyFreq contribution
+        1/(1+1) per the engine's span convention, _span_score_frame) times
+        the PayloadFunction aggregate of the occurrences' payloads."""
+        stats = (self.index.term_stats()
+                 .where((F.col("field") == q.field)
+                        & (F.col("term") == q.term))
+                 .select("field", "term", "df"))
+        p = (self._payload_postings(q.field, q.term)
+             .join(F.broadcast(stats), ["field", "term"]))
+        pays = F.col("payloads")
+        has = pays.isNotNull() & (F.size(pays) > 0)
+        pay_cnt = F.when(has, F.size(pays)).otherwise(F.lit(0))
+        pay_sum = F.when(has, F.aggregate(
+            pays, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        ).otherwise(F.lit(0.0))
+        pay_score = self._payload_doc_score(
+            q.fn, pay_sum, F.array_min(pays).cast("double"),
+            F.array_max(pays).cast("double"), pay_cnt)
+        span_score = self.sim.freq_score(
+            F.col("tf").cast("double") * F.lit(0.5), F.col("dl"),
+            self.sim.idf_col(F.col("df"), self.index.n_docs),
+            self.index.avgdl, q.boost)
+        score = (span_score * pay_score if q.include_span_score
+                 else pay_score * F.lit(float(q.boost)))
+        return p.select("doc_id", score.alias("score"))
+
+    def _payload_near_frame(self, q: ast.PayloadNear) -> DataFrame:
+        """PayloadNearQuery (PayloadNearQuery.cs:38-52, scorer at
+        :200-261): SpanNear over term leaves; every matching span feeds
+        ALL its leaf payloads to the PayloadFunction; score = span score x
+        payload DocScore.  Spans enumerate every clause-position
+        combination satisfying order+slop — the engine's span-enumeration
+        convention (see _spans), mirrored exactly by the DuckDB oracle."""
+        n = len(q.terms)
+        frames = []
+        for i, t in enumerate(q.terms):
+            zp = F.explode(F.arrays_zip(
+                F.col("positions").alias("pos"),
+                F.col("payloads").alias("pay"))).alias("_z")
+            fr = (self._payload_postings(q.field, t)
+                  .select("doc_id", *(["dl"] if i == 0 else []), zp)
+                  .select("doc_id", *(["dl"] if i == 0 else []),
+                          F.col("_z.pos").alias(f"s{i}"),
+                          F.col("_z.pay").cast("double").alias(f"p{i}")))
+            frames.append(fr)
+        j = frames[0]
+        for i in range(1, n):
+            j = j.join(frames[i], "doc_id")
+            if q.in_order:
+                j = j.where(F.col(f"s{i}") >= F.col(f"s{i - 1}") + 1)
+        if not q.in_order:
+            for i in range(n):
+                for m in range(i + 1, n):
+                    j = j.where(F.col(f"s{i}") != F.col(f"s{m}"))
+        scols = [F.col(f"s{i}") for i in range(n)]
+        start = F.least(*scols) if n > 1 else scols[0]
+        end = (F.greatest(*scols) if n > 1 else scols[0]) + F.lit(1)
+        j = j.where((end - start) - F.lit(n) <= q.slop)
+        contrib = F.lit(1.0) / (F.lit(1.0) + (end - start).cast("double"))
+        pay_row = sum(F.col(f"p{i}") for i in range(n))
+        mins = [F.min(f"p{i}") for i in range(n)]
+        maxs = [F.max(f"p{i}") for i in range(n)]
+        per_doc = (j.groupBy("doc_id", "dl").agg(
+            F.sum(contrib).alias("freq"),
+            F.sum(pay_row).alias("pay_sum"),
+            (F.least(*mins) if n > 1 else mins[0]).alias("pay_min"),
+            (F.greatest(*maxs) if n > 1 else maxs[0]).alias("pay_max"),
+            (F.count(F.lit(1)) * n).alias("pay_cnt")))
+        leafdf = self.spark.createDataFrame(
+            [(q.field, t, i) for i, t in enumerate(q.terms)],
+            "field string, term string, qoff int")
+        qstats = self._query_stats(leafdf, q.field, set(q.terms))
+        pay_score = self._payload_doc_score(
+            q.fn, F.col("pay_sum"), F.col("pay_min"), F.col("pay_max"),
+            F.col("pay_cnt"))
+        span_score = self.sim.freq_score(
+            F.col("freq"), F.col("dl"), F.col("idf_sum"),
+            self.index.avgdl, q.boost)
+        score = (span_score * pay_score if q.include_span_score
+                 else pay_score * F.lit(float(q.boost)))
         return (per_doc.crossJoin(F.broadcast(qstats))
                 .select("doc_id", score.alias("score")))
 
