@@ -201,9 +201,12 @@ def _ft_payload_term(spark, sf_dir):
 
 
 def _ft_payload_near(spark, sf_dir):
+    # spec="all_tuples": the SQL-expressible span enumeration, exact
+    # DuckDB oracle; reference NearSpansOrdered semantics are the default
+    # (cross-checked in tests/test_spanwalk.py / test_payloads.py)
     return _payload_searcher(spark, sf_dir).search(
-        ast.PayloadNear(("table", "scan"), slop=2, in_order=True, fn="avg"),
-        K)
+        ast.PayloadNear(("table", "scan"), slop=2, in_order=True, fn="avg",
+                        spec="all_tuples"), K)
 
 
 _PARSER = QueryParser(default_field="text", keyword_fields={"source"},
@@ -474,14 +477,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_regex": _search(ast.Regex("^s[ct]a[nr].*")),
         "ft_email_term": _ft_email_term,
         # --- span queries (SURVEY.md §2.4, Search/Spans/) ---
+        # span entries pin spec="all_tuples" (the SQL-expressible span
+        # enumeration, exact DuckDB oracle); reference NearSpansOrdered
+        # semantics are the ast.SpanNear default, cross-checked in
+        # tests/test_spanwalk.py
         "ft_span_near": _search(ast.SpanNear(
             (ast.SpanTerm("merge"), ast.SpanTerm("part")), slop=4,
-            in_order=True)),
+            in_order=True, spec="all_tuples")),
         "ft_span_or": _search(ast.SpanOr(
             (ast.SpanTerm("merge"), ast.SpanTerm("batch")))),
         "ft_span_not": _search(ast.SpanNot(
             ast.SpanNear((ast.SpanTerm("table"), ast.SpanTerm("hash")),
-                         slop=2, in_order=True),
+                         slop=2, in_order=True, spec="all_tuples"),
             ast.SpanTerm("merge"))),
         # --- payload queries (SURVEY.md §2.4, Search/Payloads/) ---
         "ft_payload_term": _ft_payload_term,
@@ -538,6 +545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.Bool(must=(ast.Term("table"),), must_not=(ast.Term("vector"),))
         ),
         "ft_payload_near": _ft_payload_near,
+        # contrib BooleanFilter (src/contrib/Queries/BooleanFilter.cs)
+        # composed into FilteredQuery: SHOULD prefixes minus a MUST_NOT term
+        "ft_bool_filter": _search(ast.Filtered(
+            ast.Term("spark"),
+            ast.BooleanFilter(should=(ast.Prefix("st"), ast.Prefix("ba")),
+                              must_not=(ast.Term("vector"),)))),
         "ft_bool_boost": _search(
             ast.Bool(should=(ast.Term("spark", boost=2.0), ast.Term("merge")))
         ),
@@ -657,6 +670,9 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode": g.mm_decode_meta(),
         "mm_img_feat": g.mm_image_features(16),
         "mm_frames": g.mm_frame_sample(),
+        "ft_bool_filter": g.bool_filter_term(
+            "spark", should_preds=["term LIKE 'st%'", "term LIKE 'ba%'"],
+            not_preds=["term = 'vector'"], k=K),
         "ft_payload_term": g.payload_term_query("merge", fn="max", k=K),
         "ft_payload_near": g.payload_near_query(
             ["table", "scan"], slop=2, in_order=True, fn="avg", k=K),

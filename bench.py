@@ -135,6 +135,9 @@ def main() -> None:
         "ft_prefix", "ft_fuzzy",
         # round-2 operator families
         "ft_span_near", "ft_phrase_slop3", "ft_tfidf_or",
+        # round-3 operator families (payload index built+queried inside
+        # the timing — the payload chain is a build-side feature)
+        "ft_payload_term", "ft_bool_filter",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 

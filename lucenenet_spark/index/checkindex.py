@@ -15,6 +15,9 @@ Checked invariants (CheckIndex.cs's term/postings pass):
   I7  doc partitioning: each doc_id appears in exactly one seg_id
   I8  [vs source] content sha256 rollup equality (north-rule per-row
       invariant) via segments.content_sha_rollup
+  I9  payload stream alignment: a non-empty pay_blob is exactly one
+      float32 per position (len == 4*ttf) — the fixed-width analogue of
+      CheckIndex's payload-length walk (CheckIndex.cs term pass)
 """
 
 from __future__ import annotations
@@ -51,6 +54,10 @@ def _check_rows(pdf_iter):
                 issues.append((*key, "I4:tf<1"))
             if len(tfs) and (dls < tfs).any():
                 issues.append((*key, "I4:dl<tf"))
+            pay = bytes(r.pay_blob) if getattr(r, "pay_blob", None) else b""
+            if pay and len(pay) != 4 * int(tfs.sum()):
+                issues.append(
+                    (*key, f"I9:pay_blob_{len(pay)}B!=4*ttf_{int(tfs.sum())}"))
             blocks = r.blocks
             if blocks is not None and len(docs):
                 if int(blocks[-1]["last_doc"]) != int(docs[-1]):

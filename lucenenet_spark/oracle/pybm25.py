@@ -117,6 +117,53 @@ def _sloppy_freq_walk(plists: list[list[int]], offsets: list[int],
     return freq
 
 
+def ordered_spans_ref(clause_spans: list[list[tuple[int, int]]],
+                      slop: int) -> list[tuple[int, int]]:
+    """Independent re-derivation of the NearSpansOrdered enumeration
+    (NearSpansOrdered.cs) for cross-checking functions/spanwalk.py —
+    bisect formulation instead of the reference's stepwise cursor
+    advance.  DocSpansOrdered's (start, end-tiebreak) order is exactly
+    tuple order on (s, e), so "first span ordered after X" is
+    bisect_right(X) and "last span ordered before X" is
+    bisect_left(X) - 1."""
+    import bisect
+    n = len(clause_spans)
+    lists = [sorted(c) for c in clause_spans]
+    if n == 0 or any(not c for c in lists):
+        return []
+    if n == 1:
+        return list(lists[0])
+    cur = [0] * n
+    out: list[tuple[int, int]] = []
+    alive = True
+    while alive:
+        # stretch: each clause's first span ordered after its predecessor
+        for i in range(1, n):
+            j = bisect.bisect_right(lists[i], lists[i - 1][cur[i - 1]],
+                                    lo=cur[i])
+            if j >= len(lists[i]):
+                return out
+            cur[i] = j
+        # shrink backwards: latest span still ordered before the
+        # successor's chosen one; cursor advances past it
+        nxt = lists[n - 1][cur[n - 1]]
+        match_end = nxt[1]
+        run_start = nxt[0]
+        slop_used = 0
+        for i in range(n - 2, -1, -1):
+            j = bisect.bisect_left(lists[i], nxt, lo=cur[i]) - 1
+            sp = lists[i][j]
+            cur[i] = j + 1
+            if run_start > sp[1]:
+                slop_used += run_start - sp[1]
+            run_start = sp[0]
+            nxt = sp
+        if slop_used <= slop:
+            out.append((run_start, match_end))
+        alive = all(cur[i] < len(lists[i]) for i in range(n - 1))
+    return out
+
+
 def _levenshtein(a: str, b: str) -> int:
     if len(a) < len(b):
         a, b = b, a
@@ -334,6 +381,14 @@ class OracleIndex:
             for s in subs[1:]:
                 docs &= set(s)
             out = {}
+            if q.in_order and getattr(q, "spec", "lucene") == "lucene":
+                # reference NearSpansOrdered enumeration
+                for d in docs:
+                    spans = set(ordered_spans_ref(
+                        [sorted(s[d]) for s in subs], q.slop))
+                    if spans:
+                        out[d] = spans
+                return out
             for d in docs:
                 spans = set()
                 for tup in itertools.product(*[sorted(s[d]) for s in subs]):

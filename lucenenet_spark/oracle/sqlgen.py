@@ -1091,6 +1091,35 @@ WHERE p.term = '{term}'
 {_topk(k)}"""
 
 
+def bool_filter_term(term: str, should_preds: list[str] = (),
+                     must_preds: list[str] = (), not_preds: list[str] = (),
+                     k: int = 10, boost: float = 1.0,
+                     table: str = "documents") -> str:
+    """FilteredQuery(TermQuery, BooleanFilter) — BooleanFilter.cs:39-92
+    set algebra in SQL: docs satisfying (any SHOULD) AND every MUST AND
+    no MUST_NOT filter each a term-dictionary predicate over `term`."""
+    conds = []
+    if should_preds:
+        ors = " OR ".join(
+            f"EXISTS (SELECT 1 FROM post x WHERE x.doc_id = p.doc_id "
+            f"AND ({pr.replace('term', 'x.term')}))" for pr in should_preds)
+        conds.append(f"({ors})")
+    for pr in must_preds:
+        conds.append(
+            f"EXISTS (SELECT 1 FROM post x WHERE x.doc_id = p.doc_id "
+            f"AND ({pr.replace('term', 'x.term')}))")
+    for pr in not_preds:
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM post x WHERE x.doc_id = p.doc_id "
+            f"AND ({pr.replace('term', 'x.term')}))")
+    where = " AND ".join([f"p.term = '{term}'"] + conds)
+    return f"""WITH {base_ctes(table)}
+SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE {where}
+{_topk(k)}"""
+
+
 def _payload_ctes(table: str = "documents", id_col: str = "doc_id",
                   text_col: str = "text") -> str:
     """Index-in-SQL for the delimited-payload chain (analysis/payloads.py:

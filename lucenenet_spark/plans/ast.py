@@ -120,12 +120,20 @@ class Fuzzy(Query):
 
 @dataclass(frozen=True)
 class TermRange(Query):
+    """TermRangeQuery.  collation=None compares raw codepoints
+    (TermRangeTermEnum.cs default); collation="folded" compares on the
+    ASCII-folded casefolded key — the pluggable-Collator seam
+    (TermRangeTermEnum.cs:35-41; the reference accepts any
+    java.text.Collator, here a named strategy selects the comparison
+    key expression so the range stays a JVM predicate on the term
+    dictionary)."""
     lower: str | None
     upper: str | None
     field: str = DEFAULT_FIELD
     include_lower: bool = True
     include_upper: bool = True
     boost: float = 1.0
+    collation: str | None = None
 
 
 @dataclass(frozen=True)
@@ -173,10 +181,26 @@ class ConstantScore(Query):
 
 @dataclass(frozen=True)
 class Filtered(Query):
-    """query AND an unscored stored-field predicate (FilteredQuery.cs);
-    predicate is a SQL boolean expression over the stored table's columns."""
+    """query AND an unscored filter (FilteredQuery.cs); predicate is
+    either a SQL boolean expression over the stored table's columns
+    (QueryWrapperFilter-of-a-range style) or a Query node whose match
+    set filters the hits (e.g. a BooleanFilter)."""
     query: Query
-    predicate: str
+    predicate: "str | Query"
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanFilter(Query):
+    """contrib BooleanFilter (src/contrib/Queries/BooleanFilter.cs):
+    boolean algebra over filter DocIdSets — result = (union of SHOULD,
+    when any) AND every MUST, minus every MUST_NOT; with only MUST_NOT
+    clauses the base set is all documents (BooleanFilter.GetDocIdSet's
+    missing-bits path).  Matching docs score a constant `boost` when
+    used as a query (filters don't score, FilterClause.cs)."""
+    should: tuple[Query, ...] = ()
+    must: tuple[Query, ...] = ()
+    must_not: tuple[Query, ...] = ()
     boost: float = 1.0
 
 
@@ -249,10 +273,22 @@ class SpanOr(Query):
 
 @dataclass(frozen=True)
 class SpanNear(Query):
+    """spec selects the ordered-span enumeration:
+    - "lucene" (default): the reference NearSpansOrdered walk
+      (NearSpansOrdered.cs StretchToOrder/ShrinkToAfterShortestMatch) —
+      successive minimal matches, fewer spans than tuples on repeated
+      terms; functions/spanwalk.py.
+    - "all_tuples": every distinct (s, e) over clause-span tuples meeting
+      order+slop — the SQL-expressible superset used by entries that need
+      an exact DuckDB oracle.
+    Unordered (in_order=False) always enumerates tuples; the reference's
+    NearSpansUnordered heap walk is not ported (documented deviation —
+    identical on non-repeating clause sets)."""
     clauses: tuple[Query, ...]
     slop: int = 0
     in_order: bool = True
     boost: float = 1.0
+    spec: str = "lucene"
 
 
 @dataclass(frozen=True)
@@ -312,6 +348,11 @@ class PayloadNear(Query):
     fn: str = "avg"
     include_span_score: bool = True
     boost: float = 1.0
+    # "lucene": NearSpansOrdered walk (the reference scorer's actual span
+    # source) with payloads collected at each match's chosen positions;
+    # "all_tuples": SQL-expressible tuple enumeration (exact DuckDB
+    # oracle).  Ordered queries only; unordered always enumerates tuples.
+    spec: str = "lucene"
 
 
 SPAN_NODES = (SpanTerm, SpanOr, SpanNear, SpanNot, SpanFirst,

@@ -36,6 +36,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 from ..functions import bm25
 from ..functions.similarity import BM25Similarity
@@ -357,6 +358,8 @@ class Searcher:
             return self._payload_term_frame(q)
         if isinstance(q, ast.PayloadNear):
             return self._payload_near_frame(q)
+        if isinstance(q, ast.BooleanFilter):
+            return self._constant_frame(q, q.boost)
         raise NotImplementedError(type(q).__name__)
 
     def match_frame(self, q: ast.Query) -> DataFrame:
@@ -364,6 +367,8 @@ class Searcher:
         the plan allows (constant-score semi-joins)."""
         if isinstance(q, (ast.Prefix, ast.Wildcard, ast.TermRange, ast.Regex)):
             return self._expand_match_ids(q)
+        if isinstance(q, ast.BooleanFilter):
+            return self._boolean_filter_ids(q)
         return self.score_frame(q).select("doc_id")
 
     # ---- leaves
@@ -691,11 +696,23 @@ class Searcher:
         if isinstance(q, ast.Regex):
             return t.rlike(q.pattern)
         if isinstance(q, ast.TermRange):
+            lo, hi = q.lower, q.upper
+            if q.collation == "folded":
+                # collated compare (TermRangeTermEnum.cs:35-41): both the
+                # dictionary term and the bounds map through the collation
+                # key — still one JVM predicate on the term dictionary
+                from ..analysis.folding import fold_ascii_col, fold_ascii_py
+                t = F.lower(fold_ascii_col(t))
+                lo = fold_ascii_py(lo).lower() if lo is not None else None
+                hi = fold_ascii_py(hi).lower() if hi is not None else None
+            elif q.collation is not None:
+                raise NotImplementedError(
+                    f"collation {q.collation!r} (supported: 'folded')")
             conds = []
-            if q.lower is not None:
-                conds.append(t >= q.lower if q.include_lower else t > q.lower)
-            if q.upper is not None:
-                conds.append(t <= q.upper if q.include_upper else t < q.upper)
+            if lo is not None:
+                conds.append(t >= lo if q.include_lower else t > lo)
+            if hi is not None:
+                conds.append(t <= hi if q.include_upper else t < hi)
             pred = F.lit(True)
             for c in conds:
                 pred = pred & c
@@ -787,6 +804,8 @@ class Searcher:
                        & (inc["s"] < exc["xe"]) & (inc["e"] > exc["xs"]))
             return inc.join(exc, overlap, "left_anti")
         if isinstance(q, ast.SpanNear):
+            if q.in_order and getattr(q, "spec", "lucene") == "lucene":
+                return self._span_near_walk(q)
             n = len(q.clauses)
             frames = []
             for i, c in enumerate(q.clauses):
@@ -814,6 +833,52 @@ class Searcher:
                             end.alias("e"))
                     .distinct())
         raise NotImplementedError(type(q).__name__)
+
+    def _span_near_walk(self, q: "ast.SpanNear") -> DataFrame:
+        """NearSpansOrdered enumeration (NearSpansOrdered.cs) — the
+        reference semantics for ordered spans.  Clause span frames union
+        with a clause index, group per doc (shuffle bounded by the query
+        terms' postings, never the corpus), and an Arrow-batched UDF runs
+        the stretch/shrink walk per doc (functions/spanwalk.py);
+        cross-checked against an independent bisect re-derivation
+        (oracle/pybm25.ordered_spans_ref, tests/test_spanwalk.py)."""
+        from ..functions.spanwalk import ordered_spans
+        n = len(q.clauses)
+        slop = int(q.slop)
+        frames = []
+        for i, c in enumerate(q.clauses):
+            frames.append(self._spans(c).select(
+                "doc_id", *(["dl"] if i == 0 else []),
+                F.lit(i).alias("ci"), "s", "e"))
+        dl_map = frames[0].select("doc_id", "dl").distinct()
+        u = frames[0].drop("dl")
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+
+        @F.pandas_udf(T.ArrayType(T.StructType([
+            T.StructField("s", T.IntegerType()),
+            T.StructField("e", T.IntegerType())])))
+        def walk(col: pd.Series) -> pd.Series:
+            out = []
+            for rows in col:
+                per = [[] for _ in range(n)]
+                for r in rows:
+                    per[int(r["ci"])].append((int(r["s"]), int(r["e"])))
+                for lst in per:
+                    lst.sort()
+                out.append([{"s": s, "e": e}
+                            for s, e, _ in ordered_spans(per, slop)])
+            return pd.Series(out)
+
+        grouped = (u.groupBy("doc_id")
+                   .agg(F.collect_list(F.struct("ci", "s", "e")).alias("sp"),
+                        F.count_distinct("ci").alias("nc"))
+                   .where(F.col("nc") == n))
+        matches = (grouped.select("doc_id",
+                                  F.explode(walk(F.col("sp"))).alias("m"))
+                   .select("doc_id", F.col("m.s").alias("s"),
+                           F.col("m.e").alias("e")))
+        return matches.join(dl_map, "doc_id")
 
     def _span_score_frame(self, q: ast.Query) -> DataFrame:
         """SpanScorer analogue: freq(doc) = Σ_spans 1/(1 + (e - s))
@@ -888,10 +953,14 @@ class Searcher:
     def _payload_near_frame(self, q: ast.PayloadNear) -> DataFrame:
         """PayloadNearQuery (PayloadNearQuery.cs:38-52, scorer at
         :200-261): SpanNear over term leaves; every matching span feeds
-        ALL its leaf payloads to the PayloadFunction; score = span score x
-        payload DocScore.  Spans enumerate every clause-position
-        combination satisfying order+slop — the engine's span-enumeration
-        convention (see _spans), mirrored exactly by the DuckDB oracle."""
+        its leaf payloads to the PayloadFunction; score = span score x
+        payload DocScore.  spec="lucene" sources matches from the
+        NearSpansOrdered walk (payloads at each match's chosen positions,
+        ShrinkToAfterShortestMatch :329-405); spec="all_tuples" enumerates
+        every clause-position combination meeting order+slop, mirrored
+        exactly by the DuckDB oracle."""
+        if q.in_order and q.spec == "lucene":
+            return self._payload_near_walk(q)
         n = len(q.terms)
         frames = []
         for i, t in enumerate(q.terms):
@@ -942,6 +1011,85 @@ class Searcher:
         return (per_doc.crossJoin(F.broadcast(qstats))
                 .select("doc_id", score.alias("score")))
 
+    def _payload_near_walk(self, q: ast.PayloadNear) -> DataFrame:
+        """NearSpansOrdered-sourced PayloadNear: per doc, run the walk
+        over the clause position lists and collect each match's chosen
+        positions' payloads (the PayloadNearSpanScorer path)."""
+        from ..functions.spanwalk import ordered_spans
+        n = len(q.terms)
+        slop = int(q.slop)
+        frames = []
+        for i, t in enumerate(q.terms):
+            zp = F.explode(F.arrays_zip(
+                F.col("positions").alias("pos"),
+                F.col("payloads").alias("pay"))).alias("_z")
+            frames.append(
+                self._payload_postings(q.field, t)
+                .select("doc_id", *(["dl"] if i == 0 else []), zp)
+                .select("doc_id", *(["dl"] if i == 0 else []),
+                        F.lit(i).alias("ci"),
+                        F.col("_z.pos").alias("pos"),
+                        F.col("_z.pay").cast("double").alias("pay")))
+        dl_map = frames[0].select("doc_id", "dl").distinct()
+        u = frames[0].drop("dl")
+        for fr in frames[1:]:
+            u = u.unionByName(fr)
+
+        @F.pandas_udf(T.StructType([
+            T.StructField("freq", T.DoubleType()),
+            T.StructField("pay_sum", T.DoubleType()),
+            T.StructField("pay_min", T.DoubleType()),
+            T.StructField("pay_max", T.DoubleType()),
+            T.StructField("pay_cnt", T.LongType())]))
+        def walk(col: pd.Series) -> pd.DataFrame:
+            rows_out = []
+            for rows in col:
+                per = [[] for _ in range(n)]
+                paymap: dict[tuple[int, int], float] = {}
+                for r in rows:
+                    ci, pos = int(r["ci"]), int(r["pos"])
+                    per[ci].append((pos, pos + 1))
+                    paymap[(ci, pos)] = float(r["pay"])
+                for lst in per:
+                    lst.sort()
+                freq = ps = 0.0
+                pmin, pmax, cnt = None, None, 0
+                for s, e, chosen in ordered_spans(per, slop):
+                    freq += 1.0 / (1.0 + (e - s))
+                    for ci, p in enumerate(chosen):
+                        v = paymap[(ci, p)]
+                        ps += v
+                        pmin = v if pmin is None else min(pmin, v)
+                        pmax = v if pmax is None else max(pmax, v)
+                        cnt += 1
+                rows_out.append((freq, ps, pmin, pmax, cnt))
+            return pd.DataFrame(rows_out, columns=[
+                "freq", "pay_sum", "pay_min", "pay_max", "pay_cnt"])
+
+        grouped = (u.groupBy("doc_id")
+                   .agg(F.collect_list(F.struct("ci", "pos", "pay"))
+                        .alias("sp"),
+                        F.count_distinct("ci").alias("nc"))
+                   .where(F.col("nc") == n)
+                   .select("doc_id", walk(F.col("sp")).alias("w"))
+                   .select("doc_id", "w.*")
+                   .where(F.col("freq") > 0)
+                   .join(dl_map, "doc_id"))
+        leafdf = self.spark.createDataFrame(
+            [(q.field, t, i) for i, t in enumerate(q.terms)],
+            "field string, term string, qoff int")
+        qstats = self._query_stats(leafdf, q.field, set(q.terms))
+        pay_score = self._payload_doc_score(
+            q.fn, F.col("pay_sum"), F.col("pay_min"), F.col("pay_max"),
+            F.col("pay_cnt"))
+        span_score = self.sim.freq_score(
+            F.col("freq"), F.col("dl"), F.col("idf_sum"),
+            self.index.avgdl, q.boost)
+        score = (span_score * pay_score if q.include_span_score
+                 else pay_score * F.lit(float(q.boost)))
+        return (grouped.crossJoin(F.broadcast(qstats))
+                .select("doc_id", score.alias("score")))
+
     # ---- function queries (score from field values)
 
     def _field_score_frame(self, q: ast.FieldScore) -> DataFrame:
@@ -976,14 +1124,41 @@ class Searcher:
 
     def _filtered_frame(self, q: ast.Filtered) -> DataFrame:
         inner = self.score_frame(q.query)
-        stored = self.index.stored
-        keep = stored.where(q.predicate).select(
-            F.col(self.index.id_col).alias("doc_id")
-        )
+        if isinstance(q.predicate, ast.Query):
+            # FilteredQuery(query, Filter) with a composed filter (e.g.
+            # BooleanFilter): the filter's doc set semi-joins the hits
+            keep = self.match_frame(q.predicate)
+        else:
+            stored = self.index.stored
+            keep = stored.where(q.predicate).select(
+                F.col(self.index.id_col).alias("doc_id")
+            )
         out = inner.join(keep, "doc_id", "left_semi")
         if q.boost != 1.0:
             out = out.select("doc_id", (F.col("score") * q.boost).alias("score"))
         return out
+
+    def _boolean_filter_ids(self, q: "ast.BooleanFilter") -> DataFrame:
+        """BooleanFilter.GetDocIdSet (src/contrib/Queries/BooleanFilter.cs:
+        39-92) as DataFrame set algebra: SHOULD union, MUST intersect,
+        MUST_NOT subtract — semi/anti joins on doc_id, so each clause's
+        own plan (multiterm predicate, range, term) stays intact below."""
+        ids: DataFrame | None = None
+        for c in q.must:
+            m = self.match_frame(c)
+            ids = m if ids is None else ids.join(m, "doc_id", "left_semi")
+        if q.should:
+            u = self.match_frame(q.should[0])
+            for c in q.should[1:]:
+                u = u.unionByName(self.match_frame(c))
+            u = u.distinct()
+            ids = u if ids is None else ids.join(u, "doc_id", "left_semi")
+        if ids is None:
+            # only MUST_NOT clauses: base = all documents
+            ids = self.match_frame(ast.MatchAll())
+        for c in q.must_not:
+            ids = ids.join(self.match_frame(c), "doc_id", "left_anti")
+        return ids
 
     def _empty_frame(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double")

@@ -74,15 +74,38 @@ class ParseError(ValueError):
     pass
 
 
+# range interior: a separate lexical state like the reference grammar's
+# <RangeIn>/<RangeOut> (QueryParser.JJ RANGEIN_GOOP: anything but space
+# and the closing bracket) — so `[2024-01-01 TO 2024-01-31]` keeps its
+# bounds whole instead of splitting on the prohibition operator '-'
+_GOOP_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<to>TO\b)
+  | (?P<rbrack>\])
+  | (?P<rbrace>\})
+  | (?P<quoted>"(?:\\.|[^"\\])*")
+  | (?P<term>(?:\\.|[^\s\]}"\\])+)
+    """,
+    re.VERBOSE,
+)
+
+
 def _lex(s: str) -> list[_Tok]:
     out: list[_Tok] = []
     i = 0
+    in_range = False
     while i < len(s):
-        m = _TOKEN_RE.match(s, i)
+        rx = _GOOP_RE if in_range else _TOKEN_RE
+        m = rx.match(s, i)
         if m is None:
             raise ParseError(f"cannot lex at {i}: {s[i:i + 12]!r}")
         i = m.end()
         kind = m.lastgroup
+        if kind in ("lbrack", "lbrace"):
+            in_range = True
+        elif kind in ("rbrack", "rbrace"):
+            in_range = False
         if kind == "ws":
             continue
         if kind == "caret":
@@ -113,12 +136,30 @@ class QueryParser:
     def __init__(self, default_field: str = ast.DEFAULT_FIELD,
                  analyzers: dict | None = None,
                  keyword_fields: set[str] | frozenset[str] = frozenset(),
-                 slop_spec: str = "lucene"):
+                 slop_spec: str = "lucene",
+                 date_resolution: str | None = None,
+                 field_date_resolutions: dict[str, str] | None = None,
+                 range_collation: str | None = None,
+                 allow_leading_wildcard: bool = False):
         self.default_field = default_field
         self.analyzers = analyzers or {}
         self.keyword_fields = set(keyword_fields)
         # sloppy-phrase frequency spec forwarded to ast.Phrase (see there)
         self.slop_spec = slop_spec
+        # date ranges (GetRangeQuery, QueryParser.cs:743-798): with a
+        # resolution set (SetDateResolution / per-field overload), range
+        # bounds that parse as dates rewrite to DateTools index strings;
+        # the reference's pre-1.9 legacy DateField fallback (no resolution
+        # set) is intentionally not reproduced — bounds then stay
+        # lexicographic.
+        self.date_resolution = date_resolution
+        self.field_date_resolutions = field_date_resolutions or {}
+        # collator forwarded to TermRange (SetRangeCollator,
+        # QueryParser.cs rangeCollator / TermRangeTermEnum.cs:35)
+        self.range_collation = range_collation
+        # reference default FALSE (QueryParser.cs:289 AllowLeadingWildcard;
+        # a leading * / ? forces a full term-dictionary scan)
+        self.allow_leading_wildcard = allow_leading_wildcard
 
     # ---- public
 
@@ -289,7 +330,9 @@ class QueryParser:
             include_upper = close.kind == "rbrack"
             boost = self._opt_boost()
             return self._expand(scope, lambda f, bf: ast.TermRange(
-                lo, hi, f, include_lower, include_upper, boost * bf))
+                *self._range_parts(f, lo, hi, include_upper),
+                f, include_lower, include_upper, boost * bf,
+                collation=self.range_collation))
 
         if t.kind == "term":
             raw = t.text
@@ -304,6 +347,13 @@ class QueryParser:
             boost = self._opt_boost()
             has_wild = re.search(r"(?<!\\)[*?]", raw) is not None
             if has_wild:
+                if (not self.allow_leading_wildcard
+                        and re.match(r"[*?]", raw)):
+                    # GetWildcardQuery (QueryParser.cs:989-1001): leading
+                    # wildcard rejected unless explicitly enabled
+                    raise ParseError(
+                        "'*' or '?' not allowed as first character in "
+                        "WildcardQuery (set allow_leading_wildcard)")
                 pat = _unescape_keep_wild(raw).lower()
                 if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
                     return self._expand(scope, lambda f, bf: ast.Prefix(
@@ -315,6 +365,24 @@ class QueryParser:
                 f, text, boost * bf))
 
         raise ParseError(f"unexpected token {t.kind}")
+
+    def _range_parts(self, field: str, lo: str | None, hi: str | None,
+                     include_upper: bool) -> tuple[str | None, str | None]:
+        """GetRangeQuery's date path (QueryParser.cs:743-798): when a date
+        resolution is configured for the field and BOTH present bounds
+        parse as dates, rewrite them to DateTools strings (inclusive upper
+        bound -> end of that day); otherwise pass through lexicographic."""
+        res = self.field_date_resolutions.get(field, self.date_resolution)
+        if res is None:
+            return lo, hi
+        from . import datetools as dt
+        d_lo = dt.range_bound(lo, res, False) if lo is not None else None
+        d_hi = (dt.range_bound(hi, res, include_upper)
+                if hi is not None else None)
+        if (lo is not None and d_lo is None) or \
+                (hi is not None and d_hi is None):
+            return lo, hi  # not dates: plain term range
+        return d_lo, d_hi
 
     def _range_bound(self) -> str | None:
         t = self._next()

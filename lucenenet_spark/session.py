@@ -21,6 +21,13 @@ def get_spark(app: str = "lucenenet_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan (coalesce) the output partitioning of cached
+        # plans: the segmented index is a cached DataFrame, and with the
+        # default (false) every query over it schedules shuffle_partitions
+        # tasks however tiny — at local[32] that is 32 near-empty tasks
+        # per stage, pure scheduling overhead that grows with core count
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -138,7 +138,10 @@ def load_nrt_index(spark: SparkSession, index_dir: str,
     }
     if not committed:
         raise FileNotFoundError(f"no committed batches under {index_dir}")
-    seg = spark.read.parquet(*[committed[n] for n in sorted(committed)])
+    seg = spark.read.option("mergeSchema", "true").parquet(
+        *[committed[n] for n in sorted(committed)])
+    if "pay_blob" not in seg.columns:  # pre-payload on-disk layout
+        seg = seg.withColumn("pay_blob", F.lit(b""))
     n_docs = total = 0
     field = "content"
     id_col = "doc_id"

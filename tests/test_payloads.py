@@ -148,6 +148,69 @@ def test_payloads_survive_expunge(spark, pay_index):
     assert got == {0: pytest.approx(4.0), 3: pytest.approx(1.0)}
 
 
+def test_payload_near_walk_vs_tuples(spark, pay_index):
+    """spec="lucene" (NearSpansOrdered walk) vs "all_tuples" on doc 0
+    ("cat dog cat"): for query (dog, cat) the walk uses only the chosen
+    positions' payloads; here both specs match the same single span, so
+    scores agree — and on query (cat, dog) over doc 1 (two dogs) they
+    agree too; the span-level divergence witness lives in
+    tests/test_spanwalk.py."""
+    for spec in ("lucene", "all_tuples"):
+        got = {r.doc_id: r.score for r in Searcher(pay_index).search(
+            ast.PayloadNear(("dog", "cat"), slop=0, fn="avg", spec=spec),
+            10).collect()}
+        # doc 0: dog@1 cat@2 (pays 1.0, 4.0); doc 1: dog@0 fish cat -> slop
+        # 0 fails (gap 1); dog@3 after cat. doc 3: dog after cat only.
+        assert sorted(got) == [0], (spec, got)
+
+
+def test_payload_near_walk_repeats(spark):
+    """Repeated first term: the walk shrinks to the tightest alignment
+    and counts ONE match ("a a b"-style), while all_tuples counts both —
+    payload aggregates follow the chosen positions."""
+    from lucenenet_spark.analysis.payloads import delimited_payload_analyzer
+    df = spark.createDataFrame(
+        [(0, "cat|1.0 cat|7.0 dog|2.0")], "doc_id long, text string")
+    idx = build_segmented_index(
+        spark, df, text_col="text", id_col="doc_id", field_name="text",
+        analyzer=delimited_payload_analyzer())
+    lucene = Searcher(idx).search(
+        ast.PayloadNear(("cat", "dog"), slop=1, fn="avg",
+                        include_span_score=False), 10).collect()
+    tuples = Searcher(idx).search(
+        ast.PayloadNear(("cat", "dog"), slop=1, fn="avg",
+                        include_span_score=False, spec="all_tuples"),
+        10).collect()
+    # walk: one match, chosen cat@1 (pay 7.0) + dog@2 (2.0) -> avg 4.5
+    assert lucene[0].score == pytest.approx(4.5)
+    # tuples: matches (0,2)+(1,2): pays 1+2+7+2 over 4 -> avg 3.0
+    assert tuples[0].score == pytest.approx(3.0)
+
+
+def test_checkindex_clean_with_payloads(spark, pay_index):
+    from lucenenet_spark.index.checkindex import check_index
+    rep = check_index(pay_index)
+    assert rep["clean"], rep["issues"]
+
+
+def test_checkindex_flags_misaligned_pay_blob(spark, pay_index):
+    from pyspark.sql import functions as F
+
+    from dataclasses import replace
+
+    from lucenenet_spark.index.checkindex import check_index
+    bad = replace(
+        pay_index,
+        segments=pay_index.segments.withColumn(
+            "pay_blob", F.when(F.col("term") == "cat",
+                               F.lit(b"\x00\x00")).otherwise(F.col("pay_blob"))),
+        _postings=None, _postings_nopos=None, _postings_pay=None,
+        _term_stats=None)
+    rep = check_index(bad)
+    assert not rep["clean"]
+    assert any("I9" in i[-1] for i in rep["issues"])
+
+
 def test_plain_index_rejects_payload_query(spark):
     df = spark.createDataFrame([(0, "cat dog")], "doc_id long, text string")
     idx = build_segmented_index(spark, df, text_col="text",

@@ -34,6 +34,40 @@ DEFAULT_FILES = 500000  # big enough that per-build fixed costs (driver
 QUERY_REPS = 5
 
 
+def _tree_cpu_sec() -> float:
+    """CPU seconds consumed by THIS process tree: self + reaped children
+    (getrusage) + live descendants (/proc utime+stime — the Spark JVM and
+    pyspark daemons are never wait()ed by this python, so rusage alone
+    misses essentially all of the job's CPU)."""
+    import resource
+    r_self = resource.getrusage(resource.RUSAGE_SELF)
+    r_ch = resource.getrusage(resource.RUSAGE_CHILDREN)
+    total = (r_self.ru_utime + r_self.ru_stime
+             + r_ch.ru_utime + r_ch.ru_stime)
+    tick = os.sysconf("SC_CLK_TCK")
+    info: dict[int, tuple[int, float]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            # rest[0]=state rest[1]=ppid ... rest[11]=utime rest[12]=stime
+            info[int(pid)] = (int(rest[1]),
+                              (int(rest[11]) + int(rest[12])) / tick)
+        except (OSError, IndexError, ValueError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    stack = list(kids.get(os.getpid(), []))
+    while stack:
+        p = stack.pop()
+        total += info[p][1]
+        stack.extend(kids.get(p, []))
+    return total
+
+
 def single_run(cpus: int, n_files: int, reps: int = 3) -> None:
     from lucenenet_spark.index.segments import build_segmented_index
     from lucenenet_spark.index.wand import wand_topk
@@ -56,15 +90,23 @@ def single_run(cpus: int, n_files: int, reps: int = 3) -> None:
     # 0->30 loadavg swings), so single runs are noisy; min approximates
     # uncontended capability at each parallelism level
     build_times = []
+    rep_cotenant = []   # per-rep neighbor CPU sec: box busy − own tree CPU
+    rep_cot_frac = []   # … as a fraction of the rep's whole-box CPU budget
+    ncores = os.cpu_count() or 32
     seg = None
     for _ in range(reps):
         if seg is not None:
             seg.segments.unpersist()
-        t0 = time.time()
+        own0, b0, t0 = _tree_cpu_sec(), _stat_busy_sec(), time.time()
         seg = build_segmented_index(spark, corpus, text_col="content",
                                     lang_col="lang")
-        build_times.append(time.time() - t0)
-    build_sec = min(build_times)
+        wall = time.time() - t0
+        build_times.append(wall)
+        other = max(0.0, (_stat_busy_sec() - b0) - (_tree_cpu_sec() - own0))
+        rep_cotenant.append(other)
+        rep_cot_frac.append(other / (wall * ncores))
+    best = min(range(reps), key=lambda i: build_times[i])
+    build_sec = build_times[best]
 
     s = Searcher(seg)
     qset = [
@@ -78,6 +120,7 @@ def single_run(cpus: int, n_files: int, reps: int = 3) -> None:
                                                field="content"), 10)),
     ]
     lat: dict[str, list[float]] = {}
+    qown0, qb0, qt0 = _tree_cpu_sec(), _stat_busy_sec(), time.time()
     for name, fn in qset:
         fn().collect()  # warm
         ts = []
@@ -86,6 +129,8 @@ def single_run(cpus: int, n_files: int, reps: int = 3) -> None:
             fn().collect()
             ts.append(time.time() - q0)
         lat[name] = ts
+    q_wall = time.time() - qt0
+    q_other = max(0.0, (_stat_busy_sec() - qb0) - (_tree_cpu_sec() - qown0))
 
     def p50(v):
         return sorted(v)[len(v) // 2]
@@ -94,9 +139,14 @@ def single_run(cpus: int, n_files: int, reps: int = 3) -> None:
         "cpus": cpus,
         "files": n_files,
         "build_sec": round(build_sec, 3),
+        "build_reps_sec": [round(t, 3) for t in build_times],
+        "build_reps_cotenant_cpu_sec": [round(c, 1) for c in rep_cotenant],
+        "build_reps_cotenant_frac": [round(c, 4) for c in rep_cot_frac],
+        "best_rep_cotenant_frac": round(rep_cot_frac[best], 4),
         "files_per_sec": round(n_files / build_sec, 1),
         "query_p50_sec": {k: round(p50(v), 4) for k, v in lat.items()},
         "query_min_sec": {k: round(min(v), 4) for k, v in lat.items()},
+        "query_window_cotenant_frac": round(q_other / (q_wall * ncores), 4),
     }))
 
 
@@ -105,7 +155,17 @@ def _loadavg1() -> float:
         return float(f.read().split()[0])
 
 
-def _wait_quiet(max_load: float = 2.0, timeout_sec: float = 1200.0) -> float:
+def _stat_busy_sec() -> float:
+    """System-wide busy CPU seconds (all cores, non-idle non-iowait) since
+    boot — the basis for exact co-tenant accounting."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    v = [int(x) for x in parts]
+    busy = sum(v) - v[3] - (v[4] if len(v) > 4 else 0)  # - idle - iowait
+    return busy / os.sysconf("SC_CLK_TCK")
+
+
+def _wait_quiet(max_load: float = 0.7, timeout_sec: float = 1800.0) -> float:
     """Block until the box's 1-min loadavg drops below max_load (or the
     timeout passes).  This sandbox shares hardware with bursty co-tenant
     load (observed 0 -> 30 loadavg swings with zero own processes); a
@@ -120,28 +180,57 @@ def _wait_quiet(max_load: float = 2.0, timeout_sec: float = 1200.0) -> float:
     return _loadavg1()
 
 
+DIRTY_FRAC = 0.04  # co-tenant share of total box CPU that voids a level
+
+
+def _run_level(cpus: int, n_files: int) -> dict:
+    """One pinned subprocess run of a level.  Co-tenant accounting happens
+    INSIDE the subprocess (_tree_cpu_sec: rusage + live /proc descendants
+    — the Spark JVM is never reaped by its python parent, so any
+    rusage-only accounting in this driver would misread the job's own JVM
+    CPU as a neighbor).  An attempt is clean when the rep that produced
+    the headline build time saw a co-tenant share of whole-box CPU under
+    DIRTY_FRAC during exactly that rep's window."""
+    pin = ["taskset", "-c", f"0-{cpus - 1}"]
+    out = subprocess.run(
+        pin + [sys.executable, os.path.abspath(__file__), "--run",
+               "--cpus", str(cpus), "--files", str(n_files)],
+        capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    r["clean"] = r["best_rep_cotenant_frac"] <= DIRTY_FRAC
+    r["queries_clean"] = r["query_window_cotenant_frac"] <= DIRTY_FRAC
+    return r
+
+
 def driver(n_files: int) -> None:
     results = {}
     for cpus in (2, 8, 32):
-        load_before = _wait_quiet()
-        # taskset pins the WHOLE process tree (JVM GC/JIT threads, Python
-        # workers) to exactly `cpus` cores — local[N] alone only limits
-        # task slots, letting helper threads borrow idle silicon and
-        # flatter the small-N baseline.
-        pin = ["taskset", "-c", f"0-{cpus - 1}"]
-        out = subprocess.run(
-            pin + [sys.executable, os.path.abspath(__file__), "--run",
-                   "--cpus", str(cpus), "--files", str(n_files)],
-            capture_output=True, text=True, timeout=3600,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        results[cpus]["loadavg_before"] = load_before
-        results[cpus]["loadavg_after"] = _loadavg1()
-        print(f"local[{cpus}]: {results[cpus]['files_per_sec']} files/sec "
-              f"(build {results[cpus]['build_sec']}s, "
-              f"load {load_before:.1f}->{results[cpus]['loadavg_after']:.1f})")
+        # cooldown + quiet wait: the PREVIOUS level's JVM teardown inflates
+        # loadavg for ~1-2 min, and the shared box sees random co-tenant
+        # bursts (0->30 loadavg swings).  Each level retries until an
+        # attempt ran with the co-tenant share of box CPU under DIRTY_FRAC
+        # — measured exactly, not inferred from loadavg.
+        best = None
+        for attempt in range(4):
+            load_before = _wait_quiet()
+            r = _run_level(cpus, n_files)
+            r["loadavg_before"] = load_before
+            r["loadavg_after"] = _loadavg1()
+            print(f"local[{cpus}] attempt {attempt}: "
+                  f"{r['files_per_sec']} files/sec (build {r['build_sec']}s, "
+                  f"best-rep cotenant {r['best_rep_cotenant_frac']:.1%}, "
+                  f"query-window {r['query_window_cotenant_frac']:.1%}, "
+                  f"clean={r['clean']})", flush=True)
+            if best is None or (r["clean"], r["files_per_sec"]) > \
+                    (best["clean"], best["files_per_sec"]):
+                best = r
+            time.sleep(45)  # teardown tail
+            if r["clean"]:
+                break
+        results[cpus] = best
 
     t2, t8, t32 = (results[c]["files_per_sec"] for c in (2, 8, 32))
     eff_2_8 = (t8 / t2) / 4.0
