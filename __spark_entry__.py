@@ -209,6 +209,42 @@ def _ft_payload_near(spark, sf_dir):
                         spec="all_tuples"), K)
 
 
+_DATE_CACHE: dict[str, tuple] = {}
+
+
+def _date_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """Index with a DateTools day-resolution keyword field (documents has
+    no date column, so date = 2024-01-01 + doc_id % 365 days is derived
+    deterministically in-plan; the DuckDB oracle recomputes the identical
+    derivation).  The keyword terms are already DateTools DAY strings
+    (yyyyMMdd), so a parsed date range is a plain TermRange over them —
+    QueryParser.cs:743-798 / DateTools.cs."""
+    hit = _DATE_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    d = _docs(spark, sf_dir).withColumn(
+        "date",
+        F.date_format(F.date_add(F.to_date(F.lit("2024-01-01")),
+                                 (F.col("doc_id") % 365).cast("int")),
+                      "yyyyMMdd"))
+    idx = build_segmented_index(
+        spark, d, text_col="text", id_col="doc_id", field_name="text",
+        keyword_cols={"date": "date"},
+    )
+    s = Searcher(idx)
+    _DATE_CACHE[sf_dir] = (spark, s)
+    return s
+
+
+_DATE_PARSER = QueryParser(default_field="text", keyword_fields={"date"},
+                           field_date_resolutions={"date": "day"})
+
+
+def _qp_date_range(spark, sf_dir):
+    q = _DATE_PARSER.parse("merge AND date:[2024-02-01 TO 2024-04-15]")
+    return _date_searcher(spark, sf_dir).search(q, K)
+
+
 _PARSER = QueryParser(default_field="text", keyword_fields={"source"},
                       slop_spec="all_tuples")
 
@@ -494,7 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_payload_term": _ft_payload_term,
         # --- contrib Shingle analyzer (src/contrib/Analyzers/Shingle/) ---
         "ft_shingle_bigram": _ft_shingle_bigram,
-        "ft_field_score": _search(ast.FieldScore("n_chars", boost=0.01)),
+        # contrib BooleanFilter (src/contrib/Queries/BooleanFilter.cs)
+        # composed into FilteredQuery: SHOULD prefixes minus a MUST_NOT term
+        "ft_bool_filter": _search(ast.Filtered(
+            ast.Term("spark"),
+            ast.BooleanFilter(should=(ast.Prefix("st"), ast.Prefix("ba")),
+                              must_not=(ast.Term("vector"),)))),
         "ft_custom_score": _search(
             ast.CustomScore(ast.Term("spark"), ("n_chars",), boost=0.001)
         ),
@@ -506,13 +547,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_filtered": _search(ast.Filtered(ast.Term("spark"), "lang = 'en'")),
         "ft_facets": _ft_facets,
         "ft_sorted": _ft_sorted,
-        "ft_term_stats": _ft_term_stats,
+        # contrib NGram analyzer (What's-missing #4; char n-grams as terms)
+        "ft_ngram_term": _ft_ngram_term,
         "ft_multifield": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("src0", field="source")))
         ),
         # --- query parser (SURVEY.md §2.10) ---
         "qp_bool": _parsed("+table batch -vector"),
-        "qp_nested": _parsed("spark AND (merge OR batch)"),
+        # DateTools date-range parse (QueryParser.cs:743-798)
+        "qp_date_range": _qp_date_range,
         "qp_multifield": _parsed_multifield("spark src0"),
         # --- compressed segments + block-max WAND (SURVEY.md §2.3/§4.2) ---
         "ft_wand": _ft_wand,
@@ -545,12 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.Bool(must=(ast.Term("table"),), must_not=(ast.Term("vector"),))
         ),
         "ft_payload_near": _ft_payload_near,
-        # contrib BooleanFilter (src/contrib/Queries/BooleanFilter.cs)
-        # composed into FilteredQuery: SHOULD prefixes minus a MUST_NOT term
-        "ft_bool_filter": _search(ast.Filtered(
-            ast.Term("spark"),
-            ast.BooleanFilter(should=(ast.Prefix("st"), ast.Prefix("ba")),
-                              must_not=(ast.Term("vector"),)))),
+        "ft_field_score": _search(ast.FieldScore("n_chars", boost=0.01)),
+        "ft_term_stats": _ft_term_stats,
+        "qp_nested": _parsed("spark AND (merge OR batch)"),
         "ft_bool_boost": _search(
             ast.Bool(should=(ast.Term("spark", boost=2.0), ast.Term("merge")))
         ),
@@ -567,8 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_tfidf_term": _tfidf_search(ast.Term("spark")),
         "qp_phrase": _parsed('"spark merge"~3'),
         "ft_seg_term": _ft_seg_term,
-        # contrib Shingle / NGram / EdgeNGram analyzers (What's-missing #4)
-        "ft_ngram_term": _ft_ngram_term,
+        # contrib EdgeNGram analyzer (sibling of ft_ngram_term above)
         "ft_edge_ngram": _ft_edge_ngram,
     }
 
@@ -649,6 +688,11 @@ def oracle_sql() -> dict[str, str]:
             min_should_match=1, k=K,
         ),
         "qp_multifield": g.multifield_parse(["spark", "src0"], "source", K),
+        # date = 2024-01-01 + doc_id % 365 days (same derivation as the
+        # index build); [2024-02-01 TO 2024-04-15] = day offsets 31..105
+        # (2024 is a leap year)
+        "qp_date_range": g.term_and_keyword_range(
+            "merge", "(d.doc_id % 365) BETWEEN 31 AND 105", K),
         "ft_wand": g.bool_query(
             should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K
         ),

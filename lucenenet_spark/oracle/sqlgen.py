@@ -1120,6 +1120,27 @@ WHERE {where}
 {_topk(k)}"""
 
 
+def term_and_keyword_range(term: str, range_pred: str, k: int = 10,
+                           table: str = "documents") -> str:
+    """Bool(must=(Term(text), TermRange(keyword-field))) — the parsed
+    date-range shape `merge AND date:[a TO b]`: the text term scores BM25,
+    the range clause is CONSTANT_SCORE 1.0 (multi-term rewrite), MUST
+    semantics require both.  range_pred filters the base table rows whose
+    derived keyword value falls in the rewritten DateTools range."""
+    return f"""WITH {base_ctes(table)},
+rng AS (SELECT doc_id FROM {table} d WHERE {range_pred}),
+sc AS (
+  SELECT p.doc_id, {_bm25()} AS s
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term = '{term}'
+  UNION ALL
+  SELECT doc_id, 1.0::DOUBLE AS s FROM rng
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+HAVING count(*) = 2
+{_topk(k)}"""
+
+
 def _payload_ctes(table: str = "documents", id_col: str = "doc_id",
                   text_col: str = "text") -> str:
     """Index-in-SQL for the delimited-payload chain (analysis/payloads.py:
