@@ -342,6 +342,18 @@ def _first_varint(buf: bytes) -> tuple[int, int]:
     return v, len(buf)
 
 
+def _varint1(v: int) -> bytes:
+    """Varint-encode ONE value (the spliced first doc-delta of each
+    appended blob) without the numpy round-trip codec.varint_encode
+    pays — this runs once per (term x segment) boundary in the merge."""
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
 def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: merge ALL (field, term, merge_group) runs of one
     key-sorted shuffle partition.
@@ -403,9 +415,7 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             dparts = [docs_bl[s]]
             for r in range(s + 1, e):
                 delta = first_doc[r] - last_doc[r - 1]
-                dparts.append(
-                    codec.varint_encode(np.array([delta], np.uint64))
-                    + docs_bl[r][first_len[r]:])
+                dparts.append(_varint1(delta) + docs_bl[r][first_len[r]:])
             has_pos = all(len(pos_bl[r]) > 0 or ttfs[r] == 0 for r in rows)
             has_pay = all(len(pay_bl[r]) > 0 or ttfs[r] == 0 for r in rows)
             out["docs_blob"].append(b"".join(dparts))

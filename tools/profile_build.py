@@ -49,13 +49,18 @@ def main() -> None:
 
     out = {"cpus": a.cpus, "files": a.files}
 
+    from tools.scaling_bench import _tree_cpu_sec
+
     def run(name, fn):
-        ts = []
+        ts, cs = [], []
         for _ in range(a.reps):
-            t0 = time.time()
+            c0, t0 = _tree_cpu_sec(), time.time()
             fn()
             ts.append(round(time.time() - t0, 3))
-        out[name] = {"min": min(ts), "all": ts}
+            cs.append(round(_tree_cpu_sec() - c0, 1))
+        best = min(range(a.reps), key=lambda i: ts[i])
+        out[name] = {"min": ts[best], "cpu_at_min": cs[best],
+                     "all": ts, "cpu_all": cs}
         print(name, out[name], flush=True)
 
     run("invert", lambda: noop(inv))
