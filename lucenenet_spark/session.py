@@ -28,13 +28,30 @@ def _local_dir() -> str:
     return "/tmp"
 
 
+# glibc malloc tuning for the python workers (inherited by the pyspark
+# daemon forked under the local-mode JVM; exported to executors via
+# spark.executorEnv below for cluster deployment).  Without these, every
+# big pandas/numpy buffer (>128 KiB default) is mmap'd and munmap'd per
+# allocation; at high core counts each munmap broadcasts TLB-shootdown
+# IPIs to every core and the workers burn KERNEL time: measured on the
+# 500k-file invert at local[32] — 893 system-CPU-sec per pass (3.5x wall
+# blowup, bimodal) vs ~1 system-CPU-sec once large blocks are retained
+# and reused by the allocator (tools/diag_pids.py).
+_MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(128 << 20),
+    "MALLOC_TRIM_THRESHOLD_": str(256 << 20),
+}
+
+
 def get_spark(app: str = "lucenenet_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
-    return (
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -50,18 +67,28 @@ def get_spark(app: str = "lucenenet_spark", cpus: int | None = None,
                 "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Heap scales with parallelism (constant memory PER CORE, capped
-        # to leave room for tmpfs shuffle + python workers): local[N]
-        # emulates an N-core cluster, and a 4N-executor cluster has 4N x
-        # the memory.  A fixed heap at rising core counts makes the live
-        # set (N concurrent tasks' working data) grow against constant
-        # headroom — measured: GC inflated build CPU 1.4x at 8 cores
-        # under a fixed 8g heap, erasing the 2->8 scaling the kernels
-        # deliver (tools/profile_build.py, BENCH/BASELINE.md).
+        # FIXED moderate heap.  A/B on the 500k-file build (clean windows,
+        # tools/scaling_bench.py --run) showed bigger heaps actively hurt
+        # this pipeline: local[8] 48.6s at 20g vs 25.2s at 8g; local[32]
+        # 65.7s warm at 64g vs 27.2s at 8g.  The JVM side holds only
+        # columnar cache + shuffle buffers (the kernels live in Arrow /
+        # python workers), so extra heap just stretches GC regions and
+        # NUMA spread without feeding anything.  Override: SPARK_DRIVER_MEM.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEM",
-                               f"{min(64, max(8, (5 * cpus) // 2))}g"))
+                os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ParallelGC: G1 (the JDK 17 default) collapses on this pipeline's
+        # allocation profile (large Arrow batches + big postings byte[])
+        # once the heap passes ~20g — measured on the 500k-file build at
+        # local[8]: 48.6s under G1/20g vs 28.3s under ParallelGC/20g vs
+        # 25.2s under G1/8g (same job, same box, clean windows).  A
+        # throughput collector matches this batch workload; pause-time
+        # goals buy nothing here.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_JAVA_OPTS",
+                               "-XX:+UseParallelGC"))
         .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    return builder.getOrCreate()

@@ -40,6 +40,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Same glibc malloc tuning the engine's python workers get
+# (lucenenet_spark/session.py _MALLOC_ENV): without it the
+# allocation-heavy kernels burn kernel CPU in mmap/munmap TLB shootdowns
+# at high worker counts and the "ceiling" under-reports the hardware.
+# Must be set before the Pool forks.
+for _k, _v in (("MALLOC_MMAP_THRESHOLD_", str(128 << 20)),
+               ("MALLOC_TRIM_THRESHOLD_", str(256 << 20))):
+    os.environ.setdefault(_k, _v)
+
 DOCS_PER_WORKER = 3000   # light kernel, weak scaling
 REAL_FILES = 100000      # real kernel, strong scaling
 REAL_PARTS = 64
