@@ -280,6 +280,25 @@ def _ft_matchall(spark, sf_dir):
     return _searcher(spark, sf_dir).search(ast.MatchAll(), 10000)
 
 
+def _ft_highlight(spark, sf_dir):
+    """contrib Highlighter: best token-window fragment + <b> markup over
+    the top-k of a term query (operators/highlight.py; reference
+    src/contrib/Highlighter/Highlighter.cs GetBestFragments)."""
+    from lucenenet_spark.operators import highlight
+    hits = _searcher(spark, sf_dir).search(ast.Term("spark"), K)
+    return highlight.best_fragments(hits, _docs(spark, sf_dir), ["spark"])
+
+
+def _spell_suggest(spark, sf_dir):
+    """contrib SpellChecker: n-gram candidates over the index vocabulary
+    + levenshtein rerank (operators/spell.py; reference
+    src/contrib/SpellChecker/Spell/SpellChecker.cs SuggestSimilar)."""
+    from lucenenet_spark.operators import spell
+    vocab = _seg_index(spark, sf_dir).term_stats().where(
+        F.col("field") == "text")
+    return spell.suggest_similar(vocab, "sprak", num_sug=5)
+
+
 def _ft_facets(spark, sf_dir):
     return _searcher(spark, sf_dir).facet_counts(ast.Term("spark"), "lang")
 
@@ -542,7 +561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_tfidf_or": _tfidf_search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge")))
         ),
-        "ft_matchall": _ft_matchall,
         "ft_constant": _search(ast.ConstantScore(ast.Prefix("st"), boost=2.5)),
         "ft_filtered": _search(ast.Filtered(ast.Term("spark"), "lang = 'en'")),
         "ft_facets": _ft_facets,
@@ -573,13 +591,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _dd_simhash_pairs,
         "dd_embed_cosine": _dd_embed_cosine,
         "txt_stats": _txt_stats,
-        "mm_meta": _mm_meta,
         "mm_decode": _mm_decode,
         "mm_img_feat": _mm_img_feat,
         "mm_frames": _mm_frames,
+        # --- contrib Highlighter + SpellChecker (round 3) ---
+        "ft_highlight": _ft_highlight,
+        "spell_suggest": _spell_suggest,
         # --- overflow: within-family variants past the driver's 50-entry
         # window (verified by pytest tests/test_entry_parity.py and
         # tools/check_correctness.py instead) ---
+        "ft_matchall": _ft_matchall,
+        "mm_meta": _mm_meta,
         "ft_term_rare": _search(ast.Term("dup")),
         "ft_bool_or": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
@@ -714,6 +736,8 @@ def oracle_sql() -> dict[str, str]:
         "mm_decode": g.mm_decode_meta(),
         "mm_img_feat": g.mm_image_features(16),
         "mm_frames": g.mm_frame_sample(),
+        "ft_highlight": g.highlight_term("spark", K),
+        "spell_suggest": g.suggest_similar("sprak", 5),
         "ft_bool_filter": g.bool_filter_term(
             "spark", should_preds=["term LIKE 'st%'", "term LIKE 'ba%'"],
             not_preds=["term = 'vector'"], k=K),

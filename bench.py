@@ -138,6 +138,9 @@ def main() -> None:
         # round-3 operator families (payload index built+queried inside
         # the timing — the payload chain is a build-side feature)
         "ft_payload_term", "ft_bool_filter",
+        # round-3 contribs: Highlighter (hit-list fragment markup) and
+        # SpellChecker (vocabulary-scan suggest)
+        "ft_highlight", "spell_suggest",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 

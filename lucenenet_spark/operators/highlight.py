@@ -1,0 +1,94 @@
+"""Highlighter: best-fragment extraction + term markup over a hit list.
+
+Re-creates the contrib Highlighter pipeline (reference:
+src/contrib/Highlighter/Highlighter.cs:73-178 GetBestFragments,
+QueryScorer.cs:40-110 token scoring, SimpleFragmenter.cs:41-55 fragment
+boundaries, SimpleHTMLFormatter.cs:37-52 <B>-wrapping) Spark-first:
+
+  * Lucene re-tokenizes the stored text with the analyzer and walks the
+    token stream once, opening a new fragment every `fragmentSize` chars
+    and scoring each fragment by the summed weights of query tokens in it
+    (QueryScorer: weight = term boost; equal-boost terms score 1 each).
+  * Here the same walk is a set of JVM array expressions over the
+    analyzer's token array: fragments are fixed windows of `frag_tokens`
+    tokens (the token-count analogue of SimpleFragmenter's char budget —
+    char offsets are not retained by the index spec), fragment score =
+    number of query-term occurrences in the window, best fragment = max
+    score with the EARLIEST window winning ties (Highlighter.cs keeps the
+    first-encountered fragment on equal score in its FragmentQueue).
+  * Markup wraps every query-term token of the winning window in
+    <b>...</b> (SimpleHTMLFormatter defaults).
+
+Everything is whole-stage-codegen'd column algebra (split/transform/
+slice/filter/array_join) — no Python in the loop, and the operator runs
+over the HIT LIST (top-k rows), never the corpus: at 100 TB the cost is
+O(k), exactly like the reference highlighting one results page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.exprs import standard_tokens
+
+__all__ = ["best_fragments", "highlight_expr"]
+
+
+def _wrap(tok: Column, qterms: list[str], pre: str, post: str) -> Column:
+    return F.when(tok.isin(qterms),
+                  F.concat(F.lit(pre), tok, F.lit(post))).otherwise(tok)
+
+
+def highlight_expr(text: Column, qterms: list[str], frag_tokens: int = 16,
+                   pre: str = "<b>", post: str = "</b>") -> tuple[Column, ...]:
+    """(frag_idx, frag_score, snippet) columns for one text column.
+
+    Token spec = the index analyzer (exprs.standard_tokens) with stopwords
+    KEPT in the window text — the snippet shows the stored surface, while
+    scoring counts only the query's (already analyzed) terms, mirroring
+    QueryScorer matching on the term text of the token stream.
+    """
+    toks = standard_tokens(text)
+    w = frag_tokens
+    nfrag = F.greatest(F.lit(1), F.ceil(F.size(toks) / F.lit(w))
+                       .cast("int"))
+    # struct max: (score, -idx) — highest score, then earliest fragment
+    frags = F.transform(
+        F.sequence(F.lit(0), nfrag - 1),
+        lambda i: F.struct(
+            F.size(F.filter(F.slice(toks, i * w + 1, w),
+                            lambda t: t.isin(qterms))).alias("m"),
+            (-i).alias("ni"),
+        ),
+    )
+    best = F.array_max(frags)
+    idx = (-best["ni"]).cast("long")
+    snippet = F.array_join(
+        F.transform(F.slice(toks, (-best["ni"]) * w + 1, w),
+                    lambda t: _wrap(t, qterms, pre, post)),
+        " ",
+    )
+    return idx, best["m"].cast("long"), snippet
+
+
+def best_fragments(hits: DataFrame, docs: DataFrame, qterms: list[str],
+                   text_col: str = "text", id_col: str = "doc_id",
+                   frag_tokens: int = 16, pre: str = "<b>",
+                   post: str = "</b>") -> DataFrame:
+    """GetBestFragments over a hit list: join the stored text back to the
+    (doc_id, score) hits and attach (frag_idx, frag_score, snippet).
+
+    The hit list is k rows, so the join broadcasts the hits against the
+    doc store scan — O(k) work regardless of corpus size.
+    """
+    frag_idx, frag_score, snippet = highlight_expr(
+        F.col(text_col), qterms, frag_tokens, pre, post)
+    joined = docs.select(id_col, text_col).join(
+        F.broadcast(hits), id_col)
+    return (joined
+            .select(F.col(id_col).alias("doc_id"), "score",
+                    frag_idx.alias("frag_idx"),
+                    frag_score.alias("frag_score"),
+                    snippet.alias("snippet"))
+            .orderBy(F.desc("score"), "doc_id"))

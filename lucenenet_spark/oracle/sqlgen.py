@@ -1286,3 +1286,77 @@ SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
 WHERE p.term = '{term}'
 {_topk(k)}"""
+
+
+def highlight_term(term: str, k: int = 10, frag_tokens: int = 16,
+                   table: str = "documents", text_col: str = "text") -> str:
+    """Best-fragment highlighting over a term query's top-k (the contrib
+    Highlighter pipeline, operators/highlight.py): re-tokenize the stored
+    text with the SAME analyzer transform, window into frag_tokens-token
+    fragments, score = query-term occurrences, best = max score with the
+    earliest window on ties, query terms wrapped in <b>.."""
+    w = frag_tokens
+    qlist = f"['{term}']"
+    return f"""WITH {base_ctes(table, text_col=text_col)},
+hits AS (
+  SELECT p.doc_id, round({_bm25()}, 6) AS score
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term = '{term}'
+  {_topk(k)}
+),
+ht AS (
+  SELECT h.doc_id, h.score,
+         list_transform(
+           regexp_extract_all(lower(d.{text_col}), '{_STD_ALT_SQL}'),
+           t -> {_STD_XF}) AS toks
+  FROM hits h JOIN {table} d USING (doc_id)
+),
+fr AS (
+  SELECT doc_id, score, toks,
+         unnest(range(0, greatest(1,
+           cast(ceil(len(toks) / {w}.0) AS BIGINT)))) AS i
+  FROM ht
+),
+sc AS (
+  SELECT doc_id, score, i,
+         len(list_filter(toks[i*{w}+1 : (i+1)*{w}],
+                         t -> list_contains({qlist}, t))) AS m,
+         array_to_string(list_transform(toks[i*{w}+1 : (i+1)*{w}],
+           t -> CASE WHEN list_contains({qlist}, t)
+                     THEN '<b>' || t || '</b>' ELSE t END), ' ') AS snip
+  FROM fr
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY m DESC, i) AS rn
+  FROM sc
+)
+SELECT doc_id, score, i::BIGINT AS frag_idx, m::BIGINT AS frag_score,
+       snip AS snippet
+FROM rk WHERE rn = 1
+ORDER BY score DESC, doc_id"""
+
+
+def suggest_similar(word: str, num_sug: int = 5, min_score: float = 0.5,
+                    table: str = "documents") -> str:
+    """SpellChecker oracle (operators/spell.py spec): candidates = index
+    vocabulary terms sharing >=1 contiguous n-gram with the word (gram
+    sizes from the reference length rule), reranked by
+    1 - levenshtein/max(len), accuracy cut at min_score, ties df DESC
+    then term ASC."""
+    from ..operators.spell import word_grams
+    cond = " OR ".join(f"position('{g}' IN term) > 0"
+                       for g in word_grams(word))
+    return f"""WITH {base_ctes(table)},
+cand AS (
+  SELECT term,
+         round(1.0 - levenshtein('{word}', term)::DOUBLE /
+               greatest(length(term), {len(word)}), 6) AS score,
+         df::BIGINT AS df
+  FROM dfs
+  WHERE ({cond}) AND term <> '{word}'
+)
+SELECT term, score, df FROM cand
+WHERE score >= {min_score}
+ORDER BY score DESC, df DESC, term
+LIMIT {num_sug}"""
