@@ -89,8 +89,13 @@ def main() -> None:
     os.makedirs(evdir, exist_ok=True)
 
     from pyspark.sql import SparkSession
-    from lucenenet_spark.session import _local_dir
+    from lucenenet_spark.session import _MALLOC_ENV, _local_dir
 
+    # mirror get_spark EXACTLY (malloc env + ParallelGC + fixed heap) so
+    # the decomposition profiles the engine's real runtime, then add
+    # event logging on top
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     spark = (SparkSession.builder.master(f"local[{a.cpus}]")
              .appName("diag_build")
              .config("spark.sql.shuffle.partitions", str(max(a.cpus, 8)))
@@ -99,6 +104,9 @@ def main() -> None:
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.driver.memory",
                      os.environ.get("SPARK_DRIVER_MEM", "8g"))
+             .config("spark.driver.extraJavaOptions",
+                     os.environ.get("SPARK_GRAFT_JAVA_OPTS",
+                                    "-XX:+UseParallelGC"))
              .config("spark.local.dir", _local_dir())
              .config("spark.eventLog.enabled", "true")
              .config("spark.eventLog.dir", evdir)

@@ -86,6 +86,16 @@ def single_run(cpus: int, n_files: int, reps: int = 3) -> None:
     ).cache()
     corpus.count()  # materialize the (serial) generator outside the window
 
+    # one UNTIMED warmup build (identical at every level): the first
+    # full-size pass per fresh worker set pays one-time first-touch page
+    # faults growing each python worker's retained malloc arenas (see
+    # session._MALLOC_ENV) plus JVM JIT — a per-executor cost a real
+    # multi-wave 100 TB build amortizes to nothing, so the timed reps
+    # measure steady-state indexing capability
+    warm = build_segmented_index(spark, corpus, text_col="content",
+                                 lang_col="lang")
+    warm.segments.unpersist()
+
     # best-of-N: the sandbox shares CPU with a bursty co-tenant (observed
     # 0->30 loadavg swings), so single runs are noisy; min approximates
     # uncontended capability at each parallelism level
