@@ -36,9 +36,15 @@ def single_run(n_files: int, reps: int = 3) -> None:
 
     spark = get_spark(f"dscale_{n_files}", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    # partitions scale with size (~2 tasks/core at 1M files): on a real
-    # cluster the split count grows with the input the same way
-    parts = max(64, n_files // 15000)
+    # split size ~4k docs (~600k tokens): the invert kernel's working set
+    # (six parallel int64/object arrays over the partition's tokens) then
+    # stays inside L3, where its per-file cost is flat — measured 0.24
+    # ms/file at 2k docs/split vs 0.90 at 32k (cache cliff past ~8k).
+    # 2M files: 19.9k files/s at 15k-doc splits vs 50.8k at 4k-doc splits,
+    # same box, same heap.  On a real cluster this is the input-split
+    # size knob (spark.sql.files.maxPartitionBytes): split COUNT grows
+    # with data, split SIZE stays cache-resident.
+    parts = max(64, n_files // 4000)
     corpus = with_doc_ids(
         corpus_df(spark, n_files, partitions=parts), ("repo", "path")
     ).cache()

@@ -82,6 +82,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--files", type=int, default=500000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--parts", type=int, default=64)
     a = ap.parse_args()
 
     evdir = "/tmp/diag_build_eventlog"
@@ -120,7 +121,7 @@ def main() -> None:
 
     t0 = time.time()
     corpus = with_doc_ids(
-        corpus_df(spark, a.files, partitions=64), ("repo", "path")).cache()
+        corpus_df(spark, a.files, partitions=a.parts), ("repo", "path")).cache()
     corpus.count()
     print(f"corpus: {time.time()-t0:.1f}s", flush=True)
 
