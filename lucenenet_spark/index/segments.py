@@ -493,6 +493,7 @@ class SegmentedIndex:
     id_col: str = "doc_id"
     fields: tuple[str, ...] = ("content",)
     tombstones: DataFrame | None = None
+    _del_frames: DataFrame | None = dc_field(default=None, repr=False)
     _postings: DataFrame | None = dc_field(default=None, repr=False)
     _postings_nopos: DataFrame | None = dc_field(default=None, repr=False)
     _postings_pay: DataFrame | None = dc_field(default=None, repr=False)
@@ -650,15 +651,29 @@ class SegmentedIndex:
         return {p: got.get(p, 0) for p in pairs}
 
     def with_deletes(self, tombstones: DataFrame) -> "SegmentedIndex":
-        """.del-bitmap analogue: query-time anti-join tombstones; physical
-        purge happens at the next merge wave/compaction."""
+        """Register deletes: the relational paths anti-join the tombstone
+        frame; blob-kernel paths (WAND, expunge) consume the per-segment
+        delete bitmaps from delete_frames() — the .del file analogue."""
         t = tombstones.select(F.col(self.id_col).alias("doc_id")
                               if self.id_col in tombstones.columns
                               else F.col("doc_id"))
         if self.tombstones is not None:
             t = self.tombstones.unionByName(t).distinct()
         from dataclasses import replace
-        return replace(self, tombstones=t)
+        return replace(self, tombstones=t, _del_frames=None)
+
+    def delete_frames(self) -> DataFrame | None:
+        """Per-segment delete bitmaps (seg_id, del_lo, del_kind, n_del,
+        del_blob) built distributed from the tombstone frame — cached per
+        tombstone generation (BitVector .del analogue; index/deletes.py).
+        None when the index has no deletes."""
+        if self.tombstones is None:
+            return None
+        if self._del_frames is None:
+            from .deletes import delete_frames
+            self._del_frames = delete_frames(
+                self.segments, self.tombstones).cache()
+        return self._del_frames
 
     def cache(self) -> "SegmentedIndex":
         self.segments = self.segments.cache()
@@ -675,6 +690,9 @@ class SegmentedIndex:
         if self._term_stats is not None:
             self._term_stats.unpersist()
             self._term_stats = None
+        if self._del_frames is not None:
+            self._del_frames.unpersist()
+            self._del_frames = None
         return self
 
     def n_segments(self) -> int:
@@ -1004,7 +1022,7 @@ def update_documents(
     index.unpersist_derived()
     return replace(index, segments=index.segments.unionByName(seg2),
                    stats=stats, stored=stored_new, tombstones=tomb,
-                   _postings=None, _postings_nopos=None,
+                   _del_frames=None, _postings=None, _postings_nopos=None,
                    _postings_pay=None, _term_stats=None)
 
 
@@ -1068,7 +1086,7 @@ def add_indexes(base: SegmentedIndex, *others: SegmentedIndex) -> SegmentedIndex
         o.unpersist_derived()
     return replace(base, segments=seg, stored=stored, tombstones=tomb,
                    stats=IndexStats(n_docs=n_docs, total_tokens=total),
-                   _postings=None, _postings_nopos=None,
+                   _del_frames=None, _postings=None, _postings_nopos=None,
                    _postings_pay=None, _term_stats=None)
 
 
@@ -1079,18 +1097,20 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
     tombstoned doc_ids removed, drop posting lists that become empty,
     clear the tombstone set, and recompute stats over the LIVE set — df
     and N reflect the deletes only after this point, exactly like the
-    reference.  The tombstone ids ship to the rewrite kernel as one
-    sorted numpy array (at 100 TB scale this becomes a per-segment
-    bitmap/join; the kernel shape is unchanged).  Rows whose posting list
-    contains no dead doc pass through byte-identical (no re-encode)."""
+    reference.  Deletes reach the rewrite kernel as PER-SEGMENT bitmap
+    blobs joined on seg_id (index/deletes.py — the .del design of
+    src/Lucene.Net/Util/BitVector.cs:37-192); no tombstone id ever
+    touches the driver.  Rows whose posting list contains no dead doc
+    pass through byte-identical (no re-encode); rows of delete-free
+    segments skip the decode entirely."""
     if index.tombstones is None:
         return index
-    dead = np.array(
-        sorted(r["doc_id"] for r in index.tombstones.collect()), np.int64)
-    if dead.size == 0:
+    n_dead = index.tombstones.count()  # scalar aggregate, never the ids
+    if n_dead == 0:
         from dataclasses import replace
-        return replace(index, tombstones=None)
+        return replace(index, tombstones=None, _del_frames=None)
     field_name = index.fields[0]
+    from .deletes import keep_mask
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1098,12 +1118,29 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
                 "field", "term", "seg_id", "df", "ttf", "docs_blob",
                 "tfs_blob", "dls_blob", "pos_blob", "pay_blob", "blocks")}
             for row in pdf.itertuples(index=False):
+                if row.del_blob is None:  # segment holds no deletes
+                    out["field"].append(row.field)
+                    out["term"].append(row.term)
+                    out["seg_id"].append(int(row.seg_id))
+                    out["df"].append(int(row.df))
+                    out["ttf"].append(int(row.ttf))
+                    out["docs_blob"].append(bytes(row.docs_blob))
+                    out["tfs_blob"].append(bytes(row.tfs_blob))
+                    out["dls_blob"].append(bytes(row.dls_blob))
+                    out["pos_blob"].append(
+                        bytes(row.pos_blob) if row.pos_blob else b"")
+                    out["pay_blob"].append(
+                        bytes(row.pay_blob) if row.pay_blob else b"")
+                    out["blocks"].append(
+                        list(row.blocks) if row.blocks is not None else [])
+                    continue
                 docs, tfs, dls, pos = codec.decode_postings(
                     bytes(row.docs_blob), bytes(row.tfs_blob),
                     bytes(row.dls_blob),
                     bytes(row.pos_blob) if row.pos_blob else b"")
                 pay = bytes(row.pay_blob) if row.pay_blob else b""
-                hit = np.isin(docs, dead)
+                hit = ~keep_mask(docs, row.del_lo, row.del_kind,
+                                 row.del_blob)
                 if not hit.any():
                     enc = {"df": int(row.df), "ttf": int(row.ttf),
                            "docs_blob": bytes(row.docs_blob),
@@ -1133,10 +1170,11 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
                     out[k].append(enc[k])
             yield pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA])
 
-    seg2 = index.segments.mapInPandas(kernel, SEGMENT_SCHEMA).cache()
+    joined = index.segments.join(index.delete_frames(), "seg_id", "left")
+    seg2 = joined.mapInPandas(kernel, SEGMENT_SCHEMA).cache()
     tt = (seg2.where(F.col("field") == field_name)
           .agg(F.sum("ttf")).collect()[0][0])
-    stats = IndexStats(n_docs=index.stats.n_docs - int(dead.size),
+    stats = IndexStats(n_docs=index.stats.n_docs - int(n_dead),
                        total_tokens=int(tt or 0))
     stored_new = index.stored
     if stored_new is not None:
@@ -1146,8 +1184,9 @@ def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
     from dataclasses import replace
     index.unpersist_derived()
     return replace(index, segments=seg2, stats=stats, stored=stored_new,
-                   tombstones=None, _postings=None, _postings_nopos=None,
-                   _postings_pay=None, _term_stats=None)
+                   tombstones=None, _del_frames=None, _postings=None,
+                   _postings_nopos=None, _postings_pay=None,
+                   _term_stats=None)
 
 
 def _commit_wave(spark: SparkSession, seg: DataFrame, ckpt: str, wave: int,

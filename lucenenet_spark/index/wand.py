@@ -57,8 +57,11 @@ def _segment_kernel(term_weights: dict[str, float], avgdl: float, k: int):
     """applyInPandas kernel: WAND top-k within one segment's query-term
     posting rows (columns: term, docs_blob, tfs_blob, dls_blob, blocks)."""
 
+    from .deletes import keep_mask
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         doc_parts, contrib_parts, ub_parts = [], [], []
+        has_del = "del_blob" in pdf.columns
         for row in pdf.itertuples(index=False):
             w = term_weights.get(row.term)
             if w is None:
@@ -66,6 +69,13 @@ def _segment_kernel(term_weights: dict[str, float], avgdl: float, k: int):
             docs, tfs, dls, _ = codec.decode_postings(
                 bytes(row.docs_blob), bytes(row.tfs_blob),
                 bytes(row.dls_blob), b"")
+            if has_del and row.del_blob is not None:
+                # the deletedDocs.Get check at decode time
+                # (SegmentTermDocs.cs) — dead docs never enter the
+                # bound/score passes, so k needs NO over-fetch
+                live = keep_mask(docs, row.del_lo, row.del_kind,
+                                 row.del_blob)
+                docs, tfs, dls = docs[live], tfs[live], dls[live]
             n = len(docs)
             if n == 0:
                 continue
@@ -145,11 +155,12 @@ def wand_topk(index, term_boosts: list[tuple[str, float]], k: int = 10,
               field: str | None = None) -> DataFrame:
     """Disjunctive (pure-SHOULD) BM25 top-k with block-max pruning over a
     SegmentedIndex. Rank-identical to Searcher.search(Bool(should=...)),
-    including deletes: tombstoned docs are anti-joined out, with each
-    segment over-fetching by the tombstone count so filtering can never
-    starve the global top-k (at real scale the deletes live as per-segment
-    bitmaps applied inside the kernel at decode time — the .del check of
-    SegmentTermDocs — rather than as a global over-fetch).
+    including deletes: each segment's delete bitmap (index/deletes.py,
+    the .del file analogue) joins the query-term segment rows on seg_id
+    and is applied INSIDE the kernel at decode time — the deletedDocs.Get
+    check of SegmentTermDocs.cs — so dead docs never enter the scoring
+    passes and each segment emits an exact live top-k (no over-fetch, no
+    global tombstone count anywhere in the plan).
     """
     field = field or index.fields[0]
     pairs = [(field, t) for t, _ in term_boosts]
@@ -161,18 +172,16 @@ def wand_topk(index, term_boosts: list[tuple[str, float]], k: int = 10,
     }
     if not weights:
         return index.spark.createDataFrame([], _HIT_SCHEMA)
-    tomb = getattr(index, "tombstones", None)
-    k_seg = k if tomb is None else k + tomb.count()
     seg = index.segments.where(
-        (F.col("field") == field) & F.col("term").isin(sorted(weights)))
+        (F.col("field") == field) & F.col("term").isin(sorted(weights))
+    ).select("seg_id", "term", "docs_blob", "tfs_blob", "dls_blob", "blocks")
+    del_t = index.delete_frames() if hasattr(index, "delete_frames") else None
+    if del_t is not None:
+        seg = seg.join(del_t, "seg_id", "left")
     per_segment = (
-        seg.select("seg_id", "term", "docs_blob", "tfs_blob", "dls_blob",
-                   "blocks")
-        .groupBy("seg_id")
-        .applyInPandas(_segment_kernel(weights, avgdl, k_seg), _HIT_SCHEMA)
+        seg.groupBy("seg_id")
+        .applyInPandas(_segment_kernel(weights, avgdl, k), _HIT_SCHEMA)
     )
-    if tomb is not None:
-        per_segment = per_segment.join(tomb, "doc_id", "left_anti")
     return (
         per_segment
         .select("doc_id", F.round(F.col("score"), SCORE_DECIMALS).alias("score"))

@@ -348,6 +348,23 @@ WHERE p.term = '{term}'
 {_topk(k)}"""
 
 
+def deleted_bool_or(terms: list[tuple[str, float]], delete_pred: str,
+                    k: int = 10, table: str = "documents") -> str:
+    """Disjunctive BM25 over an index with tombstoned docs: deleted rows
+    leave the hit set but df/N keep counting them (reference .del-bitmap
+    semantics before a purge) — the WAND-with-deletes oracle."""
+    rows = [f"('{t}', {bst}::DOUBLE)" for t, bst in terms]
+    return f"""WITH {base_ctes(table)},
+qt AS (SELECT * FROM (VALUES {", ".join(rows)}) v(term, bst)),
+sc AS (
+  SELECT p.doc_id, q.bst * {_bm25()} AS s
+  FROM post p JOIN qt q USING (term) JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM {table} WHERE {delete_pred})
+)
+SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
+{_topk(k)}"""
+
+
 def more_like_this(src_doc: int, max_terms: int = 5, k: int = 10,
                    table: str = "documents") -> str:
     """Top tf*idf terms of src_doc -> disjunctive BM25, source excluded.
