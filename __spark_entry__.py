@@ -211,6 +211,39 @@ def _ft_payload_near(spark, sf_dir):
                         spec="all_tuples"), K)
 
 
+_NRT_CACHE: dict[str, tuple] = {}
+
+
+def _nrt_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
+    """NRT / incremental indexing end-to-end (streaming/nrt.py; the
+    IndexWriter.GetReader + background-merge loop, IndexWriter.cs:355):
+    the documents table arrives as TWO micro-batches (foreachBatch body =
+    index_batch), a background compaction merges them into a gen_*
+    generation, and load_nrt_index reads the committed snapshot.  The
+    batches partition the table, so the NRT index must answer exactly
+    like a one-shot build — which is what the DuckDB oracle checks."""
+    hit = _NRT_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    import tempfile
+
+    from lucenenet_spark.streaming.nrt import (
+        compact, index_batch, load_nrt_index)
+    d = _docs(spark, sf_dir)
+    idx_dir = tempfile.mkdtemp(prefix="lucenenet_nrt_")
+    for bid, pred in ((0, "doc_id % 2 = 0"), (1, "doc_id % 2 = 1")):
+        index_batch(d.where(pred), bid, idx_dir, text_col="text",
+                    id_col="doc_id", field_name="text")
+    compact(spark, idx_dir, target_segments=1)
+    s = Searcher(load_nrt_index(spark, idx_dir, stored=d))
+    _NRT_CACHE[sf_dir] = (spark, s)
+    return s
+
+
+def _ft_nrt_term(spark, sf_dir):
+    return _nrt_searcher(spark, sf_dir).search(ast.Term("merge"), K)
+
+
 _DATE_CACHE: dict[str, tuple] = {}
 
 
@@ -594,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_wand": _ft_wand,
         "ft_deleted": _ft_deleted,
         "ft_mlt": _ft_mlt,
+        # --- NRT / incremental: 2 micro-batches + compact + load (§2.11) ---
+        "ft_nrt_term": _ft_nrt_term,
         # --- similarity search ---
         "ann_ivf_topk": _ann_ivf,
         "ann_cosine_topk": _ann_cosine,
@@ -602,7 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": _dd_exact,
         "dd_ngram_jaccard": _dd_jaccard,
         "dd_minhash_lsh": _dd_minhash,
-        "dd_simhash": _dd_simhash,
+        # (dd_simhash moved to overflow: dd_simhash_pairs drives the same
+        # fingerprint computation plus the pigeonhole join on top)
         "dd_simhash_pairs": _dd_simhash_pairs,
         "dd_embed_cosine": _dd_embed_cosine,
         "txt_stats": _txt_stats,
@@ -617,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py instead) ---
         "ft_matchall": _ft_matchall,
         "mm_meta": _mm_meta,
+        "dd_simhash": _dd_simhash,
         "ft_term_rare": _search(ast.Term("dup")),
         "ft_bool_or": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
@@ -736,6 +773,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand": g.bool_query(
             should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K
         ),
+        # the two NRT micro-batches partition the table, so the committed
+        # snapshot must equal a one-shot build over all of it
+        "ft_nrt_term": g.term_query("merge", K),
         "ft_seg_term": g.term_query("spark", K),
         "ft_deleted": g.deleted_term("table", "lang = 'de'", K),
         "ft_mlt": g.more_like_this(0, 5, K),

@@ -64,18 +64,30 @@ def main() -> None:
         .select(F.sum(F.length("text"))).collect()
 
     qs = entry.queries()
+    warm: dict[str, float] = {}
     for name in [
         "dd_exact", "dd_minhash_lsh", "dd_simhash",
         "ann_cosine_topk", "txt_stats",
     ]:
-        # min-of-2 on the SAME frame: rep 2 reuses the operators' own
+        # cold/warm split (round-4 VERDICT item 3): COLD = min over two
+        # from-scratch runs with the cache cleared between them (burst
+        # mitigation without intermediate reuse) and is what the headline
+        # sums; WARM = a same-frame repeat that reuses the operator's own
         # persisted intermediates (e.g. minhash's signature table — the
-        # steady-state shape of a production dedup pipeline) while the
-        # candidate join + verify still re-execute; a re-invoked entry
-        # would instead leak one orphaned cache per rep
-        df = qs[name](spark, sf_dir)
-        timed(name, df.count)
-    spark.catalog.clearCache()
+        # steady-state shape of a production dedup pipeline), reported
+        # separately and never summed.
+        cold = float("inf")
+        for rep in range(2):
+            df = qs[name](spark, sf_dir)
+            t0 = time.time()
+            df.count()
+            cold = min(cold, time.time() - t0)
+            if rep == 0:
+                t0 = time.time()
+                df.count()
+                warm[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+        timings[name] = round(cold, 3)
 
     # --- north-rule metric: corpus index-build throughput (files/sec) ----
     from lucenenet_spark.index.segments import build_segmented_index
@@ -154,11 +166,12 @@ def main() -> None:
         "corpus_files": n_files,
         "files_per_sec": files_per_sec,
         "cpus": cpus,
-        "agg": ("index_build + pipeline ops: min-of-2 (shared-box burst "
-                "mitigation; NOTE pipeline-op rep 2 reuses the operators' "
-                "own persisted intermediates, so those minima reflect the "
-                "warm steady-state shape, not a cold run); q_*/ft_* "
-                "latencies: single-shot fresh plan"),
+        "warm": warm,
+        "agg": ("pipeline ops: COLD min-of-2 from-scratch runs (cache "
+                "cleared between reps; these sum into value) with the "
+                "same-frame WARM repeat reported separately under 'warm'; "
+                "index_build: min-of-2; q_*/ft_* latencies: single-shot "
+                "fresh plan"),
     }))
 
 
