@@ -274,9 +274,21 @@ def _date_searcher(spark: SparkSession, sf_dir: str) -> Searcher:
 _DATE_PARSER = QueryParser(default_field="text", keyword_fields={"date"},
                            field_date_resolutions={"date": "day"})
 
+# locale date patterns (SetLocale analogue, QueryParser.cs:302): the same
+# range expressed in dd.MM.yyyy short dates must parse to the identical
+# TermRange — same oracle as qp_date_range
+_DATE_PARSER_LOCALE = QueryParser(
+    default_field="text", keyword_fields={"date"},
+    field_date_resolutions={"date": "day"}, date_formats=("%d.%m.%Y",))
+
 
 def _qp_date_range(spark, sf_dir):
     q = _DATE_PARSER.parse("merge AND date:[2024-02-01 TO 2024-04-15]")
+    return _date_searcher(spark, sf_dir).search(q, K)
+
+
+def _qp_date_range_locale(spark, sf_dir):
+    q = _DATE_PARSER_LOCALE.parse("merge AND date:[01.02.2024 TO 15.04.2024]")
     return _date_searcher(spark, sf_dir).search(q, K)
 
 
@@ -521,6 +533,27 @@ def _ft_wand_deleted(spark, sf_dir):
     )
 
 
+def _geo_docs(spark, sf_dir):
+    """documents has no location columns, so lat/lon are derived
+    deterministically from doc_id in-plan (the same derivation the DuckDB
+    oracle recomputes; no synthetic inputs)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        (((F.col("doc_id") * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("doc_id") * 104729) % 36000) / 100.0 - 180.0).alias("lon"))
+
+
+def _ft_geo_box(spark, sf_dir):
+    """contrib Spatial analogue (SpatialStrategy.cs MakeQuery +
+    MakeDistanceValueSource): radius bounding-box prefilter as native
+    column predicates, exact haversine verify + distance ordering as one
+    JVM expression (operators/spatial.py)."""
+    from lucenenet_spark.operators import spatial
+    return spatial.distance_topk(_geo_docs(spark, sf_dir), "lat", "lon",
+                                 center_lat=10.0, center_lon=20.0,
+                                 radius_km=3000.0, k=K)
+
+
 def _ft_mlt(spark, sf_dir):
     """MoreLikeThis: top-5 tf*idf terms of doc 0 -> disjunctive BM25."""
     return _searcher(spark, sf_dir).more_like_this(0, max_terms=5, k=K)
@@ -629,10 +662,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mlt": _ft_mlt,
         # --- NRT / incremental: 2 micro-batches + compact + load (§2.11) ---
         "ft_nrt_term": _ft_nrt_term,
+        # --- contrib Spatial: box prefilter + haversine distance (round 4) ---
+        "ft_geo_box": _ft_geo_box,
         # --- similarity search ---
+        # (ann_lsh_topk moved to overflow: the RP-LSH bucket machinery is
+        # driver-covered by dd_embed_cosine's bucketed path)
         "ann_ivf_topk": _ann_ivf,
         "ann_cosine_topk": _ann_cosine,
-        "ann_lsh_topk": _ann_lsh,
         # --- dedup / text / multimodal pipeline ops ---
         "dd_exact": _dd_exact,
         "dd_ngram_jaccard": _dd_jaccard,
@@ -654,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_matchall": _ft_matchall,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
+        "ann_lsh_topk": _ann_lsh,
+        "qp_date_range_locale": _qp_date_range_locale,
         "ft_term_rare": _search(ast.Term("dup")),
         "ft_bool_or": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
@@ -770,12 +808,16 @@ def oracle_sql() -> dict[str, str]:
         # (2024 is a leap year)
         "qp_date_range": g.term_and_keyword_range(
             "merge", "(d.doc_id % 365) BETWEEN 31 AND 105", K),
+        # same range via dd.MM.yyyy locale patterns -> identical TermRange
+        "qp_date_range_locale": g.term_and_keyword_range(
+            "merge", "(d.doc_id % 365) BETWEEN 31 AND 105", K),
         "ft_wand": g.bool_query(
             should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K
         ),
         # the two NRT micro-batches partition the table, so the committed
         # snapshot must equal a one-shot build over all of it
         "ft_nrt_term": g.term_query("merge", K),
+        "ft_geo_box": g.geo_distance_topk(10.0, 20.0, 3000.0, K),
         "ft_seg_term": g.term_query("spark", K),
         "ft_deleted": g.deleted_term("table", "lang = 'de'", K),
         "ft_mlt": g.more_like_this(0, 5, K),

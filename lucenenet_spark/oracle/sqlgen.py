@@ -365,6 +365,32 @@ SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id
 {_topk(k)}"""
 
 
+def geo_distance_topk(center_lat: float, center_lon: float,
+                      radius_km: float, k: int = 10,
+                      table: str = "documents") -> str:
+    """Spatial distance top-k over the deterministic lat/lon derivation
+    (lat = (doc_id*7919 % 18000)/100 - 90, lon = (doc_id*104729 %
+    36000)/100 - 180): haversine within radius, nearest first, doc_id
+    tie-break — mirrors operators/spatial.distance_topk exactly (the
+    bounding-box prefilter on the Spark side is a superset filter, so the
+    radius predicate alone reproduces the result set)."""
+    return f"""WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM {table}
+),
+d AS (
+  SELECT doc_id, round(2 * 6371.0088 * asin(sqrt(
+    pow(sin(radians(lat - ({center_lat})) / 2), 2) +
+    cos(radians({center_lat})) * cos(radians(lat)) *
+    pow(sin(radians(lon - ({center_lon})) / 2), 2))), 6) AS distance_km
+  FROM pts
+)
+SELECT doc_id, distance_km FROM d WHERE distance_km <= {radius_km}
+ORDER BY distance_km, doc_id LIMIT {k}"""
+
+
 def more_like_this(src_doc: int, max_terms: int = 5, k: int = 10,
                    table: str = "documents") -> str:
     """Top tf*idf terms of src_doc -> disjunctive BM25, source excluded.

@@ -73,7 +73,8 @@ class Searcher:
         (Searcher.SetSimilarity analogue, src/Lucene.Net/Search/
         Searcher.cs / Similarity.cs:560,644).  Default BM25; pass
         ClassicSimilarity for the reference's TF-IDF.  `explain` renders
-        BM25 details only (the default)."""
+        the ACTIVE similarity's detail tree (BM25 tfNorm/idf, or the
+        DefaultSimilarity queryWeight*fieldWeight decomposition)."""
         self.index = index
         self.spark = index.spark
         self.sim = similarity if similarity is not None else BM25Similarity()
@@ -251,6 +252,26 @@ class Searcher:
             tf, dl = int(row[0]["tf"]), int(row[0]["dl"])
             df = self._term_df_map([(q.field, q.term)])[(q.field, q.term)]
             n, avgdl = self.index.n_docs, self.index.avgdl
+            from ..functions.similarity import ClassicSimilarity
+            if isinstance(self.sim, ClassicSimilarity):
+                # DefaultSimilarity explanation tree (TermQuery.cs
+                # Explain :160-220): score = queryWeight * fieldWeight
+                # with queryWeight = idf * boost (queryNorm omitted, a
+                # per-query constant) and fieldWeight = tf * idf * norm
+                idf = self.sim.idf(df, n)
+                tfv = _m.sqrt(tf)
+                norm = 1.0 / _m.sqrt(dl)
+                return leaf(
+                    q.boost * idf * idf * tfv * norm,
+                    f"weight({q.field}:{q.term} in {doc_id}) [Classic], "
+                    f"product of:",
+                    [leaf(q.boost * idf, "queryWeight, product of:",
+                          [leaf(q.boost, "boost"),
+                           leaf(idf, f"idf(docFreq={df}, maxDocs={n})")]),
+                     leaf(tfv * idf * norm, "fieldWeight, product of:",
+                          [leaf(tfv, f"tf(termFreq={tf})=sqrt(freq)"),
+                           leaf(idf, f"idf(docFreq={df}, maxDocs={n})"),
+                           leaf(norm, f"fieldNorm(dl={dl})=1/sqrt(dl)")])])
             idf = _m.log(1.0 + (n - df + 0.5) / (df + 0.5))
             tfn = tf * (bm25.K1 + 1.0) / (
                 tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl))

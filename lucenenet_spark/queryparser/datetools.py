@@ -19,13 +19,15 @@ RESOLUTION_LEN = {
 }
 
 # accepted textual date forms for range bounds (the reference parses with
-# the locale's short date pattern, QueryParser.cs:765-772; here: ISO and
-# US short form, documented)
+# the LOCALE's short date pattern, QueryParser.cs:765-772 /
+# SetLocale :302; the default here is ISO + US short form, and a parser
+# can supply its own strptime patterns — the locale hook)
 _DATE_FORMATS = ("%Y-%m-%d", "%m/%d/%Y")
 
 
-def parse_date(text: str) -> datetime | None:
-    for fmt in _DATE_FORMATS:
+def parse_date(text: str,
+               formats: tuple[str, ...] | None = None) -> datetime | None:
+    for fmt in formats or _DATE_FORMATS:
         try:
             return datetime.strptime(text, fmt)
         except ValueError:
@@ -40,12 +42,14 @@ def date_to_string(d: datetime, resolution: str) -> str:
     return full[:n]
 
 
-def range_bound(text: str, resolution: str, end_of_day: bool) -> str | None:
+def range_bound(text: str, resolution: str, end_of_day: bool,
+                formats: tuple[str, ...] | None = None) -> str | None:
     """One range bound -> DateTools string, or None if `text` is not a
     date.  end_of_day pushes an inclusive upper bound to 23:59:59.999
     (QueryParser.cs:775-782: 'the user can only specify the date, not the
-    time') before truncating at the resolution."""
-    d = parse_date(text)
+    time') before truncating at the resolution.  formats: the parser's
+    locale date patterns (SetLocale analogue)."""
+    d = parse_date(text, formats)
     if d is None:
         return None
     if end_of_day:

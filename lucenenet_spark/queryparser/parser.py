@@ -140,7 +140,8 @@ class QueryParser:
                  date_resolution: str | None = None,
                  field_date_resolutions: dict[str, str] | None = None,
                  range_collation: str | None = None,
-                 allow_leading_wildcard: bool = False):
+                 allow_leading_wildcard: bool = False,
+                 date_formats: tuple[str, ...] | None = None):
         self.default_field = default_field
         self.analyzers = analyzers or {}
         self.keyword_fields = set(keyword_fields)
@@ -160,6 +161,9 @@ class QueryParser:
         # reference default FALSE (QueryParser.cs:289 AllowLeadingWildcard;
         # a leading * / ? forces a full term-dictionary scan)
         self.allow_leading_wildcard = allow_leading_wildcard
+        # locale date patterns for range bounds (SetLocale analogue,
+        # QueryParser.cs:302 / :765-772); None = the documented defaults
+        self.date_formats = date_formats
 
     # ---- public
 
@@ -376,8 +380,9 @@ class QueryParser:
         if res is None:
             return lo, hi
         from . import datetools as dt
-        d_lo = dt.range_bound(lo, res, False) if lo is not None else None
-        d_hi = (dt.range_bound(hi, res, include_upper)
+        d_lo = (dt.range_bound(lo, res, False, self.date_formats)
+                if lo is not None else None)
+        d_hi = (dt.range_bound(hi, res, include_upper, self.date_formats)
                 if hi is not None else None)
         if (lo is not None and d_lo is None) or \
                 (hi is not None and d_hi is None):

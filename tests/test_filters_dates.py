@@ -113,6 +113,21 @@ def test_parser_date_range_rewrite():
     assert q3.upper == "20240131000000"
 
 
+def test_parser_locale_date_formats():
+    """SetLocale analogue (QueryParser.cs:302/:765-772): a parser built
+    with its own strptime patterns parses that locale's short dates; the
+    default patterns then no longer apply."""
+    p = QueryParser(default_field="text", keyword_fields={"date"},
+                    field_date_resolutions={"date": "DAY"},
+                    date_formats=("%d.%m.%Y",))
+    q = p.parse("date:[01.02.2024 TO 15.04.2024]")
+    assert isinstance(q, ast.TermRange)
+    assert (q.lower, q.upper) == ("20240201", "20240415")
+    # ISO bounds are NOT dates under this locale: lexicographic fallback
+    q2 = p.parse("date:[2024-02-01 TO 2024-04-15]")
+    assert (q2.lower, q2.upper) == ("2024-02-01", "2024-04-15")
+
+
 def test_parser_non_date_range_stays_lexicographic():
     p = QueryParser(default_field="text", date_resolution="DAY")
     q = p.parse("text:[apple TO cherry]")

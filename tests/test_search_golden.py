@@ -254,3 +254,37 @@ def test_explain_matches_score(engine, qi):
 def test_explain_nonmatching_doc(engine):
     e = engine.explain(ast.Bool(must=(ast.Term("aa"), ast.Term("x"))), 0)
     assert e["value"] == 0.0
+
+
+@pytest.mark.parametrize("qi", range(len(EXPLAIN_QUERIES)))
+def test_explain_classic_similarity(engine, qi):
+    """explain() follows the ACTIVE similarity (Searcher.SetSimilarity,
+    Similarity.cs:560): under ClassicSimilarity the root value equals the
+    search score within the CheckExplanations tolerance
+    (test/Lucene.Net.Test/Search/CheckHits.cs:42, 0.00025) and the term
+    leaves render the DefaultSimilarity.cs decomposition
+    (queryWeight = boost*idf, fieldWeight = sqrt(tf)*idf/sqrt(dl))."""
+    from lucenenet_spark.functions.similarity import ClassicSimilarity
+
+    s = Searcher(engine.index, similarity=ClassicSimilarity())
+    q = EXPLAIN_QUERIES[qi]
+    hits = s.search(q, 5).collect()
+    assert hits
+    for r in hits[:3]:
+        e = s.explain(q, r["doc_id"])
+        assert abs(e["value"] - r["score"]) < 0.00025, (qi, r["doc_id"], e)
+
+    def walk(node):
+        yield node
+        for d in node["details"]:
+            yield from walk(d)
+
+    e = s.explain(ast.Term("aa"), hits[0]["doc_id"]) if qi == 0 else None
+    if e is not None:
+        descs = [n["description"] for n in walk(e)]
+        assert any("queryWeight" in d for d in descs)
+        assert any("fieldWeight" in d for d in descs)
+        assert any("idf(docFreq=" in d for d in descs)
+        # and the BM25 default still renders its own tree
+        eb = engine.explain(ast.Term("aa"), hits[0]["doc_id"])
+        assert any("tfNorm" in n["description"] for n in walk(eb))
