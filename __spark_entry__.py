@@ -336,6 +336,30 @@ def _ft_highlight(spark, sf_dir):
     return highlight.best_fragments(hits, _docs(spark, sf_dir), ["spark"])
 
 
+_FVH_CACHE: dict[str, tuple] = {}
+
+
+def _ft_fvh(spark, sf_dir):
+    """FastVectorHighlighter: highlight from the materialized
+    WITH_POSITIONS_OFFSETS vector table without re-tokenizing hits
+    (operators/fvh.py / index/vectors.py).  The driver row checks the
+    fragment SELECTION (identical to the token-path highlighter by
+    construction); the offset-sliced snippet is pytest-verified
+    (tests/test_fvh.py)."""
+    from lucenenet_spark.index.vectors import term_vectors_with_offsets
+    from lucenenet_spark.operators import fvh
+    d = _docs(spark, sf_dir)
+    hit = _FVH_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        vec = hit[1]
+    else:
+        vec = term_vectors_with_offsets(d, text_col="text").cache()
+        _FVH_CACHE[sf_dir] = (spark, vec)
+    hits = _searcher(spark, sf_dir).search(ast.Term("spark"), K)
+    return fvh.best_fragments_fv(hits, vec, d, ["spark"]).select(
+        "doc_id", "score", "frag_idx", "frag_score")
+
+
 def _spell_suggest(spark, sf_dir):
     """contrib SpellChecker: n-gram candidates over the index vocabulary
     + levenshtein rerank (operators/spell.py; reference
@@ -692,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
         "qp_date_range_locale": _qp_date_range_locale,
+        "ft_fvh": _ft_fvh,
         "ft_term_rare": _search(ast.Term("dup")),
         "ft_bool_or": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
@@ -837,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_img_feat": g.mm_image_features(16),
         "mm_frames": g.mm_frame_sample(),
         "ft_highlight": g.highlight_term("spark", K),
+        "ft_fvh": g.highlight_selection("spark", K),
         "spell_suggest": g.suggest_similar("sprak", 5),
         "ft_bool_filter": g.bool_filter_term(
             "spark", should_preds=["term LIKE 'st%'", "term LIKE 'ba%'"],

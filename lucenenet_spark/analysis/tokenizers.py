@@ -142,6 +142,50 @@ def tokenize_standard(text: str) -> list[tuple[str, int]]:
     return out
 
 
+def _len_preserving_lower(text: str) -> str:
+    """Lowercase without changing string length, so token character
+    offsets computed on the lowered text index the STORED text too.
+    The rare chars whose Unicode lowercase expands (e.g. İ) are kept
+    as-is — a documented deviation affecting the term, not the offsets
+    (ASCII corpora are unaffected)."""
+    low = text.lower()
+    if len(low) == len(text):
+        return low
+    return "".join(c if len(cl := c.lower()) != 1 else cl for c in text)
+
+
+def tokenize_standard_offsets(
+        text: str) -> list[tuple[str, int, int, int]]:
+    """(term, position, start_offset, end_offset) after the standard
+    chain — the WITH_POSITIONS_OFFSETS token stream
+    (src/Lucene.Net/Documents/Field.cs:100, OffsetAttribute): offsets
+    span the RAW tokenizer match in the stored text (the reference keeps
+    tokenizer offsets even when StandardFilter rewrites the term)."""
+    if text is None:
+        return []
+    low = _len_preserving_lower(text)
+    out: list[tuple[str, int, int, int]] = []
+    for pos, m in enumerate(STANDARD_TOKEN_RE.finditer(low)):
+        tok = _std_transform(m.group(0))
+        if len(tok) > MAX_TOKEN_LENGTH or tok in ENGLISH_STOP_WORDS:
+            continue
+        out.append((tok, pos, m.start(), m.end()))
+    return out
+
+
+def tokenize_code_offsets(text: str) -> list[tuple[str, int, int, int]]:
+    """Code-analyzer twin of tokenize_standard_offsets (sub-token spans
+    come straight from the raw text — no case pre-pass needed)."""
+    if text is None:
+        return []
+    out: list[tuple[str, int, int, int]] = []
+    for pos, m in enumerate(CODE_SUBTOKEN_RE.finditer(text)):
+        sub = m.group(0)
+        if len(sub) <= MAX_TOKEN_LENGTH:
+            out.append((sub.lower(), pos, m.start(), m.end()))
+    return out
+
+
 def tokenize_code(text: str) -> list[tuple[str, int]]:
     """Code-aware: identifier extraction + camel/snake split, no stop set.
 

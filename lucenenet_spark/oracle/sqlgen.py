@@ -1331,6 +1331,52 @@ WHERE p.term = '{term}'
 {_topk(k)}"""
 
 
+def highlight_selection(term: str, k: int = 10, frag_tokens: int = 16,
+                        table: str = "documents",
+                        text_col: str = "text") -> str:
+    """Fragment SELECTION only (doc_id, score, frag_idx, frag_score) —
+    the FastVectorHighlighter oracle: FVH picks the same window as the
+    re-tokenizing highlighter (operators/fvh.py docstring); its snippet
+    is a stored-text slice that SQL has no offset primitives to rebuild,
+    so the driver row verifies the selection and pytest verifies the
+    rendering."""
+    w = frag_tokens
+    return f"""WITH {base_ctes(table, text_col=text_col)},
+hits AS (
+  SELECT p.doc_id, round({_bm25()}, 6) AS score
+  FROM post p JOIN dfs f USING (term) CROSS JOIN st
+  WHERE p.term = '{term}'
+  {_topk(k)}
+),
+ht AS (
+  SELECT h.doc_id, h.score,
+         list_transform(
+           regexp_extract_all(lower(d.{text_col}), '{_STD_ALT_SQL}'),
+           t -> {_STD_XF}) AS toks
+  FROM hits h JOIN {table} d USING (doc_id)
+),
+fr AS (
+  SELECT doc_id, score, toks,
+         unnest(range(0, greatest(1,
+           cast(ceil(len(toks) / {w}.0) AS BIGINT)))) AS i
+  FROM ht
+),
+sc AS (
+  SELECT doc_id, score, i,
+         len(list_filter(toks[i*{w}+1 : (i+1)*{w}],
+                         t -> t = '{term}')) AS m
+  FROM fr
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY m DESC, i) AS rn
+  FROM sc
+)
+SELECT doc_id, score, i::BIGINT AS frag_idx, m::BIGINT AS frag_score
+FROM rk WHERE rn = 1 AND m > 0
+ORDER BY score DESC, doc_id"""
+
+
 def highlight_term(term: str, k: int = 10, frag_tokens: int = 16,
                    table: str = "documents", text_col: str = "text") -> str:
     """Best-fragment highlighting over a term query's top-k (the contrib
