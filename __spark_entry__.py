@@ -170,6 +170,42 @@ def _ft_edge_ngram(spark, sf_dir):
         ast.Term("spar"), K)
 
 
+def _snowball_searcher(spark: SparkSession, sf_dir: str,
+                       lang: str) -> Searcher:
+    """Index built through a SnowballAnalyzer chain (contrib Snowball,
+    src/contrib/Snowball/SF/Snowball/Ext/{English,German}Stemmer.cs via
+    the `analyzer=` seam): every emitted term is stemmed at index time;
+    queries carry pre-stemmed terms.  The DuckDB oracle re-runs the
+    whole stemmer in SQL (oracle/sqlgen._porter2_ctes/_german_ctes)."""
+    from lucenenet_spark.analysis.snowball import (
+        english_snowball_analyzer, german_snowball_analyzer)
+    hit = _ANALYZER_CACHE.get((sf_dir, f"snow-{lang}"))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    an = (english_snowball_analyzer() if lang == "english"
+          else german_snowball_analyzer())
+    idx = build_segmented_index(
+        spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        field_name="text", analyzer=an,
+    )
+    s = Searcher(idx)
+    _ANALYZER_CACHE[(sf_dir, f"snow-{lang}")] = (spark, s)
+    return s
+
+
+def _ft_snowball_term(spark, sf_dir):
+    # porter2_stem("merging") == porter2_stem("merges") == "merg":
+    # the stemmed index conflates the family; query the stem
+    return _snowball_searcher(spark, sf_dir, "english").search(
+        ast.Term("merg"), K)
+
+
+def _ft_snowball_de(spark, sf_dir):
+    # german_stem("tables") == "tabl" (es-suffix in R1)
+    return _snowball_searcher(spark, sf_dir, "german").search(
+        ast.Term("tabl"), K)
+
+
 _PAYLOAD_CACHE: dict[str, tuple] = {}
 
 
@@ -644,8 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_near": _search(ast.SpanNear(
             (ast.SpanTerm("merge"), ast.SpanTerm("part")), slop=4,
             in_order=True, spec="all_tuples")),
-        "ft_span_or": _search(ast.SpanOr(
-            (ast.SpanTerm("merge"), ast.SpanTerm("batch")))),
+        # (ft_span_or moved to overflow: spans stay driver-covered by
+        # ft_span_near + ft_span_not, which composes a SpanNear)
         "ft_span_not": _search(ast.SpanNot(
             ast.SpanNear((ast.SpanTerm("table"), ast.SpanTerm("hash")),
                          slop=2, in_order=True, spec="all_tuples"),
@@ -654,6 +690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_payload_term": _ft_payload_term,
         # --- contrib Shingle analyzer (src/contrib/Analyzers/Shingle/) ---
         "ft_shingle_bigram": _ft_shingle_bigram,
+        # --- contrib Snowball (Porter2 English, round 4) ---
+        "ft_snowball_term": _ft_snowball_term,
         # contrib BooleanFilter (src/contrib/Queries/BooleanFilter.cs)
         # composed into FilteredQuery: SHOULD prefixes minus a MUST_NOT term
         "ft_bool_filter": _search(ast.Filtered(
@@ -717,6 +755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh,
         "qp_date_range_locale": _qp_date_range_locale,
         "ft_fvh": _ft_fvh,
+        "ft_span_or": _search(ast.SpanOr(
+            (ast.SpanTerm("merge"), ast.SpanTerm("batch")))),
+        # contrib Snowball German chain (GermanStemmer.cs among tables)
+        "ft_snowball_de": _ft_snowball_de,
         "ft_term_rare": _search(ast.Term("dup")),
         "ft_bool_or": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
@@ -871,6 +913,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_payload_near": g.payload_near_query(
             ["table", "scan"], slop=2, in_order=True, fn="avg", k=K),
         "ft_shingle_bigram": g.shingle_term_query("table scan", K),
+        "ft_snowball_term": g.snowball_term_query("merg", K, "english"),
+        "ft_snowball_de": g.snowball_term_query("tabl", K, "german"),
         "ft_ngram_term": g.ngram_term_query("rk", K, min_gram=1, max_gram=2),
         "ft_edge_ngram": g.edge_ngram_term_query("spar", K, min_gram=2,
                                                  max_gram=4),

@@ -30,10 +30,298 @@ _STD_XF = (
 )
 
 
+# ---- Snowball stemmer SQL (mirrors analysis/snowball.py; suffix tables
+# imported from there so the two sides cannot drift) -------------------
+
+def _r1_en_sql(u: str) -> str:
+    pat = "^.*?[aeiouy][^aeiouy]"
+    return (f"(CASE WHEN {u} LIKE 'gener%' THEN 5 "
+            f"WHEN regexp_matches({u}, '{pat}') "
+            f"THEN length(regexp_extract({u}, '{pat}')) "
+            f"ELSE length({u}) END)")
+
+
+def _r2_from_r1_sql(u: str, r1: str) -> str:
+    pat = "^.*?[aeiouy][^aeiouy]"
+    tail = f"substr({u}, {r1} + 1)"
+    return (f"(CASE WHEN regexp_matches({tail}, '{pat}') "
+            f"THEN {r1} + length(regexp_extract({tail}, '{pat}')) "
+            f"ELSE length({u}) END)")
+
+
+def _shortv_sql(u: str) -> str:
+    return (f"(regexp_matches({u}, '[^aeiouy][aeiouy][^aeiouywxY]$') OR "
+            f"regexp_matches({u}, '^[aeiouy][^aeiouy]$'))")
+
+
+def _porter2_ctes() -> str:
+    """Vocabulary-level Porter2 as chained CTEs ending in
+    stemmap(term, stem) — the exact step sequence of
+    analysis/snowball.porter2_stem (EnglishStemmer.cs among tables)."""
+    from ..analysis.snowball import (
+        _DOUBLES, _EXC1, _EXC2, _STEP2, _STEP3, _STEP4, _VALID_LI)
+
+    exc1 = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _EXC1.items())
+    exc2 = ",".join(f"'{w}'" for w in sorted(_EXC2))
+    dbl = "|".join(_DOUBLES)
+    li = "".join(sorted(_VALID_LI))
+
+    def dele(n: int) -> str:
+        """step-1b ed/ing deletion + fixup, stem = w minus n chars."""
+        st = f"substr(w, 1, length(w) - {n})"
+        r1s = _r1_en_sql(st)
+        return (f"CASE WHEN regexp_matches({st}, '[aeiouy]') THEN "
+                f"CASE WHEN regexp_matches({st}, '(at|bl|iz)$') "
+                f"THEN {st} || 'e' "
+                f"WHEN regexp_matches({st}, '({dbl})$') "
+                f"THEN substr(w, 1, length(w) - {n + 1}) "
+                f"WHEN {r1s} = length({st}) AND {_shortv_sql(st)} "
+                f"THEN {st} || 'e' ELSE {st} END ELSE w END")
+
+    def sufmap(pairs, region: str, extra: str = "") -> str:
+        """longest-suffix CASE: replace suffix if its start >= region."""
+        lines = []
+        for suf, rep in pairs:
+            cond = f"length(w) - {len(suf)} >= {region}"
+            out = (f"substr(w, 1, length(w) - {len(suf)}) || '{rep}'"
+                   if rep else f"substr(w, 1, length(w) - {len(suf)})")
+            lines.append(f"WHEN w LIKE '%{suf}' THEN "
+                         f"CASE WHEN {cond} THEN {out} ELSE w END")
+        return "CASE " + " ".join(lines) + f" {extra}ELSE w END"
+
+    s2_extra = (
+        f"WHEN w LIKE '%ogi' THEN CASE WHEN length(w) - 3 >= r1 "
+        f"AND w LIKE '%logi' THEN substr(w, 1, length(w) - 1) ELSE w END "
+        f"WHEN w LIKE '%li' THEN CASE WHEN length(w) - 2 >= r1 AND "
+        f"substr(w, length(w) - 2, 1) IN "
+        f"({','.join(repr(c) for c in li)}) "
+        f"THEN substr(w, 1, length(w) - 2) ELSE w END ")
+
+    step1b = " ".join(
+        f"WHEN w LIKE '%{suf}' THEN " + (
+            f"CASE WHEN length(w) - {len(suf)} >= {_r1_en_sql('w')} "
+            f"THEN substr(w, 1, length(w) - {len(suf)}) || 'ee' "
+            f"ELSE w END"
+            if suf in ("eedly", "eed") else dele(len(suf)))
+        for suf in ("eedly", "ingly", "edly", "eed", "ing", "ed"))
+
+    step4 = []
+    for suf in _STEP4:
+        cond = f"length(w) - {len(suf)} >= r2"
+        if suf == "ion":
+            cond += " AND substr(w, length(w) - 3, 1) IN ('s', 't')"
+        step4.append(f"WHEN w LIKE '%{suf}' THEN CASE WHEN {cond} "
+                     f"THEN substr(w, 1, length(w) - {len(suf)}) "
+                     f"ELSE w END")
+
+    return f"""
+sv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+sv1 AS MATERIALIZED (  -- exception1 + short gate + prelude (y marking)
+  SELECT term,
+    CASE term {exc1} END AS exc,
+    length(term) < 3 AS tiny,
+    regexp_replace(
+      CASE WHEN regexp_matches(term, '^y[aeiouy]')
+           THEN 'Y' || substr(term, 2) ELSE term END,
+      '([aeiouy])y', '\\1Y', 'g') AS w
+  FROM sv0),
+sv2 AS MATERIALIZED (  -- step 1a + exception2
+  SELECT term, exc, tiny,
+    CASE WHEN exc IS NOT NULL OR tiny THEN w
+         WHEN w LIKE '%sses' THEN substr(w, 1, length(w) - 2)
+         WHEN w LIKE '%ied' OR w LIKE '%ies' THEN
+           substr(w, 1, length(w) - 3) ||
+           CASE WHEN length(w) > 4 THEN 'i' ELSE 'ie' END
+         WHEN w LIKE '%us' OR w LIKE '%ss' THEN w
+         WHEN w LIKE '%s' THEN
+           CASE WHEN regexp_matches(substr(w, 1, length(w) - 2),
+                                    '[aeiouy]')
+                THEN substr(w, 1, length(w) - 1) ELSE w END
+         ELSE w END AS w
+  FROM sv1),
+sv3 AS MATERIALIZED (SELECT term, exc, tiny, w,
+               exc IS NOT NULL OR tiny OR w IN ({exc2}) AS skip
+        FROM sv2),
+sv4 AS MATERIALIZED (  -- step 1b
+  SELECT term, exc, tiny, skip,
+    CASE WHEN skip THEN w {step1b} ELSE w END AS w
+  FROM sv3),
+sv5 AS MATERIALIZED (  -- step 1c
+  SELECT term, exc, tiny, skip,
+    CASE WHEN NOT skip AND regexp_matches(w, '.[^aeiouy][yY]$')
+         THEN substr(w, 1, length(w) - 1) || 'i' ELSE w END AS w
+  FROM sv4),
+sv6 AS MATERIALIZED (SELECT *, {_r1_en_sql('w')} AS r1 FROM sv5),
+sv7 AS MATERIALIZED (  -- step 2 (in R1)
+  SELECT term, exc, tiny, skip,
+    CASE WHEN skip THEN w ELSE {sufmap(_STEP2, 'r1', s2_extra)} END AS w
+  FROM sv6),
+sv8 AS MATERIALIZED (SELECT *, {_r1_en_sql('w')} AS r1 FROM sv7),
+sv9 AS MATERIALIZED (SELECT *, {_r2_from_r1_sql('w', 'r1')} AS r2 FROM sv8),
+sv10 AS MATERIALIZED (  -- step 3 (in R1; ative needs R2)
+  SELECT term, exc, tiny, skip,
+    CASE WHEN skip THEN w
+         WHEN w LIKE '%ative' THEN
+           CASE WHEN length(w) - 5 >= r1 AND length(w) - 5 >= r2
+                THEN substr(w, 1, length(w) - 5) ELSE w END
+         ELSE {sufmap(_STEP3, 'r1')} END AS w
+  FROM sv9),
+sv11 AS MATERIALIZED (SELECT *, {_r1_en_sql('w')} AS r1 FROM sv10),
+sv12 AS MATERIALIZED (SELECT *, {_r2_from_r1_sql('w', 'r1')} AS r2 FROM sv11),
+sv13 AS MATERIALIZED (  -- step 4 (in R2)
+  SELECT term, exc, tiny, skip,
+    CASE WHEN skip THEN w {" ".join(step4)} ELSE w END AS w
+  FROM sv12),
+sv14 AS MATERIALIZED (SELECT *, {_r1_en_sql('w')} AS r1 FROM sv13),
+sv15 AS MATERIALIZED (SELECT *, {_r2_from_r1_sql('w', 'r1')} AS r2 FROM sv14),
+sv16 AS MATERIALIZED (  -- step 5 + postlude
+  SELECT term, exc, tiny, skip,
+    CASE WHEN skip THEN w
+         WHEN w LIKE '%e' AND (length(w) - 1 >= r2 OR
+              (length(w) - 1 >= r1 AND
+               NOT {_shortv_sql("substr(w, 1, length(w) - 1)")}))
+         THEN substr(w, 1, length(w) - 1)
+         WHEN w LIKE '%ll' AND length(w) - 1 >= r2
+         THEN substr(w, 1, length(w) - 1)
+         ELSE w END AS w
+  FROM sv15),
+stemmap AS MATERIALIZED (
+  SELECT term,
+         coalesce(exc, CASE WHEN tiny THEN term
+                            ELSE replace(w, 'Y', 'y') END) AS stem
+  FROM sv16)"""
+
+
+def _r1_de_sql(u: str) -> str:
+    pat = "^.*?[aeiouyäöü][^aeiouyäöü]"
+    return (f"(CASE WHEN regexp_matches({u}, '{pat}') "
+            f"THEN greatest(3, length(regexp_extract({u}, '{pat}'))) "
+            f"ELSE length({u}) END)")
+
+
+def _r2_de_sql(u: str) -> str:
+    pat = ("^.*?[aeiouyäöü][^aeiouyäöü]"
+           ".*?[aeiouyäöü][^aeiouyäöü]")
+    return (f"(CASE WHEN regexp_matches({u}, '{pat}') "
+            f"THEN length(regexp_extract({u}, '{pat}')) "
+            f"ELSE length({u}) END)")
+
+
+def _german_ctes() -> str:
+    """German Snowball as chained CTEs (mirrors
+    analysis/snowball.german_stem; GermanStemmer.cs among tables)."""
+    from ..analysis.snowball import _S_ENDING, _ST_ENDING
+    s_end = ",".join(repr(c) for c in sorted(_S_ENDING))
+    st_end = ",".join(repr(c) for c in sorted(_ST_ENDING))
+    gv = "aeiouyäöü"
+    mark = (f"regexp_replace(regexp_replace(w, '([{gv}])y([{gv}])', "
+            f"'\\1Y\\2', 'g'), '([{gv}])u([{gv}])', '\\1U\\2', 'g')")
+
+    step1 = " ".join(
+        f"WHEN w LIKE '%{suf}' THEN CASE WHEN length(w) - {len(suf)} >= r1 "
+        f"THEN substr(w, 1, length(w) - {len(suf)}) ELSE w END"
+        for suf in ("ern", "es", "em", "en", "er", "e"))
+    step2 = " ".join(
+        f"WHEN w LIKE '%{suf}' THEN CASE WHEN length(w) - {len(suf)} >= r1 "
+        f"THEN substr(w, 1, length(w) - {len(suf)}) ELSE w END"
+        for suf in ("est", "en", "er"))
+
+    return f"""
+gv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+gv1 AS MATERIALIZED (  -- prelude: ss for ß, u/y between vowels marked (3-pass fixpoint)
+  SELECT term, w FROM (
+    SELECT term, {mark.replace('w', mark.replace('w', mark))} AS w
+    FROM (SELECT term, replace(term, 'ß', 'ss') AS w FROM gv0))),
+gv2 AS MATERIALIZED (SELECT term, w, {_r1_de_sql('w')} AS r1 FROM gv1),
+gv3 AS MATERIALIZED (  -- step 1 (in R1)
+  SELECT term,
+    CASE {step1}
+         WHEN w LIKE '%s' THEN
+           CASE WHEN length(w) - 1 >= r1 AND
+                     substr(w, length(w) - 1, 1) IN ({s_end})
+                THEN substr(w, 1, length(w) - 1) ELSE w END
+         ELSE w END AS w
+  FROM gv2),
+gv4 AS MATERIALIZED (SELECT term, w, {_r1_de_sql('w')} AS r1 FROM gv3),
+gv5 AS MATERIALIZED (  -- step 2 (in R1)
+  SELECT term,
+    CASE {step2}
+         WHEN w LIKE '%st' THEN
+           CASE WHEN length(w) - 2 >= r1 AND length(w) >= 6 AND
+                     substr(w, length(w) - 2, 1) IN ({st_end})
+                THEN substr(w, 1, length(w) - 2) ELSE w END
+         ELSE w END AS w
+  FROM gv4),
+gv6 AS MATERIALIZED (SELECT term, w, {_r1_de_sql('w')} AS r1,
+               {_r2_de_sql('w')} AS r2 FROM gv5),
+gv7 AS MATERIALIZED (  -- step 3 (d-suffixes in R2), first tier
+  SELECT term, r1,
+    CASE WHEN (w LIKE '%end' OR w LIKE '%ung')
+              AND length(w) - 3 >= r2
+         THEN substr(w, 1, length(w) - 3)
+         WHEN w LIKE '%isch' AND length(w) - 4 >= r2
+              AND w NOT LIKE '%eisch'
+         THEN substr(w, 1, length(w) - 4)
+         WHEN (w LIKE '%lich' OR w LIKE '%heit' OR w LIKE '%keit')
+              AND length(w) - 4 >= r2
+         THEN substr(w, 1, length(w) - 4)
+         WHEN (w LIKE '%ig' OR w LIKE '%ik') AND length(w) - 2 >= r2
+              AND w NOT LIKE '%eig' AND w NOT LIKE '%eik'
+         THEN substr(w, 1, length(w) - 2)
+         ELSE w END AS w,
+    CASE WHEN (w LIKE '%end' OR w LIKE '%ung')
+              AND length(w) - 3 >= r2 THEN 'endung'
+         WHEN (w LIKE '%lich' OR w LIKE '%heit')
+              AND length(w) - 4 >= r2 THEN 'lichheit'
+         WHEN w LIKE '%keit' AND length(w) - 4 >= r2 THEN 'keit'
+         ELSE '' END AS did
+  FROM gv6),
+gv8 AS MATERIALIZED (  -- step 3 second tier (the try(...) continuations)
+  SELECT term,
+    CASE WHEN did = 'endung' AND w LIKE '%ig' AND w NOT LIKE '%eig'
+              AND length(w) - 2 >= {_r2_de_sql('w')}
+         THEN substr(w, 1, length(w) - 2)
+         WHEN did = 'lichheit' AND (w LIKE '%er' OR w LIKE '%en')
+              AND length(w) - 2 >= {_r1_de_sql('w')}
+         THEN substr(w, 1, length(w) - 2)
+         WHEN did = 'keit' AND w LIKE '%lich'
+              AND length(w) - 4 >= {_r2_de_sql('w')}
+         THEN substr(w, 1, length(w) - 4)
+         WHEN did = 'keit' AND w LIKE '%ig'
+              AND length(w) - 2 >= {_r2_de_sql('w')}
+         THEN substr(w, 1, length(w) - 2)
+         ELSE w END AS w
+  FROM gv7),
+stemmap AS MATERIALIZED (
+  SELECT term,
+         replace(replace(replace(replace(replace(
+           w, 'Y', 'y'), 'U', 'u'), 'ä', 'a'), 'ö', 'o'), 'ü', 'u')
+         AS stem
+  FROM gv8)"""
+
+
 def base_ctes(table: str = "documents", id_col: str = "doc_id",
-              text_col: str = "text") -> str:
-    """tk(all tokens+pos) -> tokens(stop/len filtered) -> dl, st(n,avgdl),
-    post(term,doc,tf,dl), dfs(term,df) — the index build in SQL."""
+              text_col: str = "text", stemmer: str | None = None) -> str:
+    """tk(all tokens+pos) -> tokens(stop/len filtered[, stemmed]) -> dl,
+    st(n,avgdl), post(term,doc,tf,dl), dfs(term,df) — the index build in
+    SQL.  stemmer='english'|'german' inserts the Snowball vocabulary
+    chain (mirrors analysis/snowball.py step for step) between the stop
+    filter and the postings aggregation, with the German chain swapping
+    in GERMAN_STOP_WORDS like the analyzer does."""
+    stop_sql = STOPLIST_SQL
+    stem_ctes = ""
+    if stemmer == "english":
+        stem_ctes = "," + _porter2_ctes()
+    elif stemmer == "german":
+        from ..analysis.snowball import GERMAN_STOP_WORDS
+        stop_sql = ",".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
+        stem_ctes = "," + _german_ctes()
+    tokens_cte = (
+        """tokens AS (
+  SELECT t.doc_id, m.stem AS term, t.pos
+  FROM tok_f t JOIN stemmap m USING (term)
+)""" if stemmer else
+        "tokens AS (SELECT * FROM tok_f)")
     return f"""
 tk AS (
   SELECT {id_col} AS doc_id, unnest(toks) AS term,
@@ -44,10 +332,11 @@ tk AS (
                  t -> {_STD_XF}) AS toks
         FROM {table})
 ),
-tokens AS (
+tok_f AS (
   SELECT * FROM tk
-  WHERE length(term) <= 255 AND term NOT IN ({STOPLIST_SQL})
-),
+  WHERE length(term) <= 255 AND term NOT IN ({stop_sql})
+){stem_ctes},
+{tokens_cte},
 dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
 st AS (SELECT (SELECT count(*) FROM {table}) AS n,
               (SELECT count(*) FROM tokens)::DOUBLE /
@@ -107,6 +396,19 @@ def term_query(term: str, k: int = 10, boost: float = 1.0,
                table: str = "documents") -> str:
     return f"""WITH {base_ctes(table)}
 SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+def snowball_term_query(term: str, k: int = 10, lang: str = "english",
+                        table: str = "documents") -> str:
+    """Term query over a Snowball-stemmed index (SnowballAnalyzer
+    analogue): the base CTEs re-run the full stemmer chain in SQL
+    (vocabulary-level, _porter2_ctes/_german_ctes).  `term` must already
+    be the stemmed query term, as in the engine."""
+    return f"""WITH {base_ctes(table, stemmer=lang)}
+SELECT p.doc_id, round({_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
 WHERE p.term = '{term}'
 {_topk(k)}"""
