@@ -18,6 +18,11 @@ Checked invariants (CheckIndex.cs's term/postings pass):
   I9  payload stream alignment: a non-empty pay_blob is exactly one
       float32 per position (len == 4*ttf) — the fixed-width analogue of
       CheckIndex's payload-length walk (CheckIndex.cs term pass)
+  I10 payload coverage is homogeneous per (field, term): if some of a
+      term's segments carry payloads and others don't (e.g. add_indexes
+      of a payload index with a plain one), the NEXT merge of that term
+      will discard its payloads (codec.merge_postings has_pay rule) —
+      flagged here so the degrade is visible before it happens
 """
 
 from __future__ import annotations
@@ -126,6 +131,20 @@ def check_index(index, source: DataFrame | None = None,
     )
     if cross:
         issues.append(("*", "*", -1, f"I7:{cross}_docs_span_segments"))
+
+    # I10: heterogeneous payload coverage (see module docstring)
+    mixed = (
+        seg.where(F.col("ttf") > 0)
+        .groupBy("field", "term")
+        .agg(F.sum(F.when(F.octet_length("pay_blob") > 0, 1)
+                   .otherwise(0)).alias("with_pay"),
+             F.count("*").alias("n"))
+        .where((F.col("with_pay") > 0) & (F.col("with_pay") < F.col("n")))
+        .count()
+    )
+    if mixed:
+        issues.append(("*", "*", -1,
+                       f"I10:{mixed}_terms_mixed_payload_coverage"))
 
     report = {"clean": not issues, "issues": issues,
               "n_rows": seg.count(), "n_segments": index.n_segments()}

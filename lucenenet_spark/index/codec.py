@@ -286,6 +286,15 @@ def merge_postings(parts: list[dict]):
         if len(pb) == 0 and t.sum() > 0:
             has_pay = False
         pay_l.append(np.frombuffer(pb, "<f4"))
+    if not has_pay and any(len(p) > 0 for p in pay_l):
+        # heterogeneous merge: some parts carry payloads, some don't —
+        # the merged list drops them (CheckIndex I10 flags the precursor
+        # state; this warning marks the actual degrade)
+        import warnings
+        warnings.warn(
+            "merge_postings: discarding payloads for a (field, term) "
+            "because not every merged part carries a pay_blob",
+            RuntimeWarning, stacklevel=2)
     docs = np.concatenate(doc_l)
     tfs = np.concatenate(tf_l)
     dls = np.concatenate(dl_l)

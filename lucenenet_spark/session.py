@@ -9,11 +9,19 @@ from pyspark.sql import SparkSession
 
 
 def _local_dir() -> str:
-    """Shuffle/spill scratch space.  Default to tmpfs when it has real
+    """Shuffle/spill scratch space.  Prefer tmpfs when it has real
     capacity: shuffle files on a RAM disk take co-tenant disk contention
     (and our own fsync latency) out of the hot path — the single-node
-    analogue of putting spark.local.dir on node-local NVMe, which is what
-    a real cluster deployment should set.  SPARK_GRAFT_LOCAL_DIR wins."""
+    analogue of putting spark.local.dir on node-local NVMe, which is
+    what a real cluster deployment should set.
+
+    tmpfs usage is BOUNDED: /dev/shm rides alongside /tmp as a
+    comma-separated dir list, so Spark spreads shuffle blocks across
+    both and a heavy spill cannot consume RAM alone (the capacity probe
+    runs once at session start; the disk leg is the safety margin for
+    workloads that grow past it).  For shuffle-heavy jobs on
+    memory-constrained hosts set SPARK_GRAFT_LOCAL_DIR explicitly — it
+    overrides the probe entirely."""
     env = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if env:
         return env
@@ -22,7 +30,7 @@ def _local_dir() -> str:
         if st.f_bavail * st.f_frsize > 16 << 30:
             d = "/dev/shm/lucenenet_spark_local"
             os.makedirs(d, exist_ok=True)
-            return d
+            return f"{d},/tmp"
     except OSError:
         pass
     return "/tmp"

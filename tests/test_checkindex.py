@@ -58,3 +58,48 @@ def test_unsorted_docids_detected():
     # delta encoding of unsorted input round-trips wrapped (uint underflow),
     # so the ascending invariant is exactly what catches it
     assert not (np.diff(d) > 0).all() or not (d == docs).all()
+
+
+def test_i10_mixed_payload_coverage_flagged(spark):
+    """add_indexes of a payload-carrying index with a plain one leaves a
+    term with heterogeneous pay_blob coverage; CheckIndex I10 flags it
+    (the next merge of that term would silently drop its payloads —
+    codec.merge_postings emits a RuntimeWarning when it actually does)."""
+    import warnings
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.analysis.payloads import delimited_payload_analyzer
+    from lucenenet_spark.index import codec
+    from lucenenet_spark.index.checkindex import check_index
+    from lucenenet_spark.index.segments import (
+        add_indexes, build_segmented_index)
+
+    plain = build_segmented_index(
+        spark, spark.createDataFrame([(0, "alpha beta")],
+                                     "doc_id long, text string"),
+        text_col="text", id_col="doc_id", field_name="text")
+    pay = build_segmented_index(
+        spark, spark.createDataFrame([(10, "alpha|1.5 beta|2.0")],
+                                     "doc_id long, text string"),
+        text_col="text", id_col="doc_id", field_name="text",
+        analyzer=delimited_payload_analyzer())
+    both = add_indexes(plain, pay)
+    rep = check_index(both)
+    assert any("I10" in i[3] for i in rep["issues"]), rep["issues"]
+    # each source index alone is homogeneous: no I10
+    assert not any("I10" in i[3] for i in check_index(pay)["issues"])
+
+    # the degrade itself warns
+    parts = [{"docs_blob": bytes(r["docs_blob"]),
+              "tfs_blob": bytes(r["tfs_blob"]),
+              "dls_blob": bytes(r["dls_blob"]),
+              "pos_blob": bytes(r["pos_blob"]) if r["pos_blob"] else b"",
+              "pay_blob": bytes(r["pay_blob"]) if r["pay_blob"] else b""}
+             for r in both.segments.where(F.col("term") == "alpha")
+             .collect()]
+    with _pytest.warns(RuntimeWarning, match="discarding payloads"):
+        warnings.simplefilter("always")
+        merged = codec.merge_postings(parts)
+    assert merged["pay_blob"] == b""

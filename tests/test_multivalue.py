@@ -57,3 +57,21 @@ def test_multivalue_stats(spark):
             idx.postings_nopos.where("term = 'fox'").collect()}
     assert rows == {0: 6, 1: 6}
     assert idx.n_docs == 3
+
+
+def test_trailing_stopword_hole_survives_boundary():
+    """Regression pin for the DOCUMENTED deviation
+    (analysis/tokenizers.tokenize_values docstring): the position base
+    advances by the RAW token count, so a trailing stopword's hole
+    survives the value boundary at gap=0.  The reference drops
+    position increments pending at end-of-stream
+    (src/Lucene.Net/Analysis/Analyzer.cs position counter), which would
+    put 'fox' at position 2 here; we pin OUR chosen semantics (3) so
+    any accidental change is caught and the deviation stays deliberate."""
+    from lucenenet_spark.analysis.tokenizers import tokenize_values
+
+    toks = tokenize_values(["big red the", "fox ran"], gap=0)
+    assert toks == [("big", 0), ("red", 1), ("fox", 3), ("ran", 4)]
+    # a non-trailing stopword hole behaves identically on both sides
+    toks2 = tokenize_values(["big the red", "fox"], gap=0)
+    assert toks2 == [("big", 0), ("red", 2), ("fox", 3)]
