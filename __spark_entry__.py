@@ -614,6 +614,28 @@ def _ft_geo_box(spark, sf_dir):
                                  radius_km=3000.0, k=K)
 
 
+def _ft_percolate(spark, sf_dir):
+    """MemoryIndex/percolation analogue (src/contrib/Memory/
+    MemoryIndex.cs): a registered query SET compiled once into JVM
+    boolean expressions and matched against every document in one
+    map-only scan — zero shuffles, no per-doc index build
+    (operators/percolate.py)."""
+    from lucenenet_spark.operators.percolate import percolate
+    qs = {
+        "q_bool": ast.Bool(must=(ast.Term("merge"), ast.Term("batch")),
+                           must_not=(ast.Term("vector"),)),
+        "q_fuzzy": ast.Fuzzy("scan", min_similarity=0.5),
+        "q_msm": ast.Bool(should=(ast.Term("spark"), ast.Term("merge"),
+                                  ast.Term("scan")),
+                          min_should_match=2),
+        "q_phrase": ast.Phrase(("table", "hash")),
+        "q_prefix": ast.Prefix("sta"),
+        "q_range": ast.NumericRange("n_chars", 200, 400),
+        "q_term": ast.Term("spark"),
+    }
+    return percolate(_docs(spark, sf_dir), qs)
+
+
 def _ft_mlt(spark, sf_dir):
     """MoreLikeThis: top-5 tf*idf terms of doc 0 -> disjunctive BM25."""
     return _searcher(spark, sf_dir).more_like_this(0, max_terms=5, k=K)
@@ -670,7 +692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dedup_key": _search(ast.DedupByKey(ast.Term("merge"), "source")),
         "ft_prefix": _search(ast.Prefix("s")),
         "ft_fuzzy": _search(ast.Fuzzy("scan", min_similarity=0.5)),
-        "ft_regex": _search(ast.Regex("^s[ct]a[nr].*")),
+        # (ft_regex moved to overflow for round 4: the constant-score
+        # multiterm rewrite stays driver-covered by ft_prefix and
+        # ft_constant — freeing the slot for the percolator family)
         "ft_email_term": _ft_email_term,
         # --- span queries (SURVEY.md §2.4, Search/Spans/) ---
         # span entries pin spec="all_tuples" (the SQL-expressible span
@@ -746,10 +770,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- contrib Highlighter + SpellChecker (round 3) ---
         "ft_highlight": _ft_highlight,
         "spell_suggest": _spell_suggest,
+        # --- MemoryIndex/percolation analogue (round 4) ---
+        "ft_percolate": _ft_percolate,
         # --- overflow: within-family variants past the driver's 50-entry
         # window (verified by pytest tests/test_entry_parity.py and
         # tools/check_correctness.py instead) ---
         "ft_matchall": _ft_matchall,
+        "ft_regex": _search(ast.Regex("^s[ct]a[nr].*")),
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -906,6 +933,18 @@ def oracle_sql() -> dict[str, str]:
         "ft_highlight": g.highlight_term("spark", K),
         "ft_fvh": g.highlight_selection("spark", K),
         "spell_suggest": g.suggest_similar("sprak", 5),
+        "ft_percolate": g.percolate([
+            ("q_bool", f"{g.perc_term('merge')} AND {g.perc_term('batch')} "
+                       f"AND NOT {g.perc_term('vector')}"),
+            ("q_fuzzy", g.perc_fuzzy("scan", 0.5)),
+            ("q_msm", g.perc_msm([g.perc_term("spark"),
+                                  g.perc_term("merge"),
+                                  g.perc_term("scan")], 2)),
+            ("q_phrase", g.perc_phrase(["table", "hash"])),
+            ("q_prefix", g.perc_pred("t.term LIKE 'sta%'")),
+            ("q_range", "d.n_chars >= 200 AND d.n_chars <= 400"),
+            ("q_term", g.perc_term("spark")),
+        ]),
         "ft_bool_filter": g.bool_filter_term(
             "spark", should_preds=["term LIKE 'st%'", "term LIKE 'ba%'"],
             not_preds=["term = 'vector'"], k=K),

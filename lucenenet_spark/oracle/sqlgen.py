@@ -1751,3 +1751,59 @@ SELECT term, score, df FROM cand
 WHERE score >= {min_score}
 ORDER BY score DESC, df DESC, term
 LIMIT {num_sug}"""
+
+
+# ---- percolation (operators/percolate.py spec) ----
+
+def perc_term(term: str) -> str:
+    return ("EXISTS (SELECT 1 FROM tokens t WHERE t.doc_id = d.doc_id "
+            f"AND t.term = '{term}')")
+
+
+def perc_phrase(terms: list[str], offsets: list[int] | None = None) -> str:
+    """Exact phrase at raw-stream positions (stopword holes are real
+    gaps): anchor t0, every further term aligned at pos0 + offset."""
+    offs = offsets if offsets is not None else list(range(len(terms)))
+    tail = " AND ".join(
+        f"EXISTS (SELECT 1 FROM tokens t{i} WHERE t{i}.doc_id = t0.doc_id "
+        f"AND t{i}.term = '{t}' AND t{i}.pos = t0.pos + {o - offs[0]})"
+        for i, (t, o) in enumerate(zip(terms[1:], offs[1:]), start=1))
+    return ("EXISTS (SELECT 1 FROM tokens t0 WHERE t0.doc_id = d.doc_id "
+            f"AND t0.term = '{terms[0]}'" + (f" AND {tail})" if tail else ")"))
+
+
+def perc_pred(term_pred: str) -> str:
+    """Some indexed token satisfies a term predicate (prefix/wildcard/
+    range/regex rewrite): tokens are already stop/length filtered."""
+    return ("EXISTS (SELECT 1 FROM tokens t WHERE t.doc_id = d.doc_id "
+            f"AND ({term_pred}))")
+
+
+def perc_fuzzy(term: str, min_sim: float = 0.5, prefix_len: int = 0) -> str:
+    """FuzzyTermEnum bound against the doc's own tokens:
+    levenshtein <= floor((1-min_sim) * least(|q|, |token|))."""
+    pre = (f" AND t.term LIKE '{term[:prefix_len]}%'" if prefix_len else "")
+    return ("EXISTS (SELECT 1 FROM tokens t WHERE t.doc_id = d.doc_id "
+            f"AND levenshtein(t.term, '{term}') <= "
+            f"floor({1.0 - min_sim} * least({len(term)}, length(t.term)))"
+            f"{pre})")
+
+
+def perc_msm(conds: list[str], need: int) -> str:
+    votes = " + ".join(f"(CASE WHEN {c} THEN 1 ELSE 0 END)" for c in conds)
+    return f"({votes}) >= {need}"
+
+
+def percolate(specs: list[tuple[str, str]], table: str = "documents") -> str:
+    """UNION ALL of one branch per registered query: each condition is a
+    boolean SQL expression over alias `d` (the doc row) and the `tokens`
+    CTE — the DuckDB twin of operators/percolate.percolate."""
+    branches = "\n  UNION ALL\n".join(
+        f"  SELECT d.doc_id AS doc_id, '{qid}' AS query_id\n"
+        f"  FROM {table} d WHERE {cond}"
+        for qid, cond in specs)
+    return f"""WITH {base_ctes(table)}
+SELECT doc_id, query_id FROM (
+{branches}
+)
+ORDER BY doc_id, query_id"""
