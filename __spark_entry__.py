@@ -193,6 +193,43 @@ def _snowball_searcher(spark: SparkSession, sf_dir: str,
     return s
 
 
+# contrib WordNet synonym vocabulary (Syns2Index analogue: word -> syns
+# lookup; tiny, driver-side).  Values are analyzed-form lowercase words.
+_SYN_MAP = {"merge": ("consolidate", "unify"), "scan": ("sweep",)}
+_SYN_EXP_MAP = {"merge": ("consolidate", "unify"),
+                "batch": ("merge", "group")}
+
+
+def _ft_syn_index(spark, sf_dir):
+    """Index-time synonym injection (SynonymTokenFilter pattern,
+    posIncrement=0 stacking; analysis/synonyms.synonym_analyzer): the
+    term 'consolidate' exists in postings only through injection on
+    docs containing 'merge'.  Oracle re-runs the injection in SQL
+    (sqlgen.base_ctes synonyms=)."""
+    from lucenenet_spark.analysis.synonyms import synonym_analyzer
+    hit = _ANALYZER_CACHE.get((sf_dir, "syn"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        idx = build_segmented_index(
+            spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+            field_name="text", analyzer=synonym_analyzer(_SYN_MAP),
+        )
+        s = Searcher(idx)
+        _ANALYZER_CACHE[(sf_dir, "syn")] = (spark, s)
+    return s.search(ast.Term("consolidate"), K)
+
+
+def _ft_syn_expand(spark, sf_dir):
+    """Query-time SynExpand (SynExpand.cs:86-130): 'merge batch' expands
+    to SHOULD(merge, batch, consolidate^0.9, unify^0.9, group^0.9) —
+    batch's synonym 'merge' deduped against the query words — run
+    against the plain standard index."""
+    from lucenenet_spark.analysis.synonyms import expand
+    q = expand("merge batch", _SYN_EXP_MAP, boost=0.9)
+    return _search(q)(spark, sf_dir)
+
+
 def _ft_snowball_term(spark, sf_dir):
     # porter2_stem("merging") == porter2_stem("merges") == "merg":
     # the stemmed index conflates the family; query the stem
@@ -777,6 +814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py instead) ---
         "ft_matchall": _ft_matchall,
         "ft_regex": _search(ast.Regex("^s[ct]a[nr].*")),
+        # contrib WordNet (src/contrib/WordNet/): index-time injection +
+        # query-time SynExpand
+        "ft_syn_index": _ft_syn_index,
+        "ft_syn_expand": _ft_syn_expand,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -933,6 +974,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_highlight": g.highlight_term("spark", K),
         "ft_fvh": g.highlight_selection("spark", K),
         "spell_suggest": g.suggest_similar("sprak", 5),
+        "ft_syn_index": g.term_query("consolidate", K, synonyms=_SYN_MAP),
+        "ft_syn_expand": g.bool_query(
+            should=[("merge", 1.0), ("batch", 1.0), ("consolidate", 0.9),
+                    ("unify", 0.9), ("group", 0.9)], k=K),
         "ft_percolate": g.percolate([
             ("q_bool", f"{g.perc_term('merge')} AND {g.perc_term('batch')} "
                        f"AND NOT {g.perc_term('vector')}"),

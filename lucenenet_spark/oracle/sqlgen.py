@@ -301,13 +301,19 @@ stemmap AS MATERIALIZED (
 
 
 def base_ctes(table: str = "documents", id_col: str = "doc_id",
-              text_col: str = "text", stemmer: str | None = None) -> str:
+              text_col: str = "text", stemmer: str | None = None,
+              synonyms: dict[str, tuple[str, ...]] | None = None) -> str:
     """tk(all tokens+pos) -> tokens(stop/len filtered[, stemmed]) -> dl,
     st(n,avgdl), post(term,doc,tf,dl), dfs(term,df) — the index build in
     SQL.  stemmer='english'|'german' inserts the Snowball vocabulary
     chain (mirrors analysis/snowball.py step for step) between the stop
     filter and the postings aggregation, with the German chain swapping
-    in GERMAN_STOP_WORDS like the analyzer does."""
+    in GERMAN_STOP_WORDS like the analyzer does.  synonyms= injects each
+    word's synonyms at the SOURCE token's position (posIncrement=0
+    stacking; they count toward dl) — the analysis/synonyms.py
+    synonym_analyzer twin."""
+    if stemmer and synonyms:
+        raise ValueError("stemmer and synonyms are separate chains")
     stop_sql = STOPLIST_SQL
     stem_ctes = ""
     if stemmer == "english":
@@ -316,12 +322,24 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
         from ..analysis.snowball import GERMAN_STOP_WORDS
         stop_sql = ",".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
         stem_ctes = "," + _german_ctes()
-    tokens_cte = (
-        """tokens AS (
+    if synonyms:
+        vals = ", ".join(f"('{w}', '{s}')"
+                         for w in sorted(synonyms) for s in synonyms[w])
+        stem_ctes = f""",
+synmap(word, syn) AS (SELECT * FROM (VALUES {vals}))"""
+        tokens_cte = """tokens AS (
+  SELECT * FROM tok_f
+  UNION ALL
+  SELECT t.doc_id, m.syn AS term, t.pos
+  FROM tok_f t JOIN synmap m ON t.term = m.word
+)"""
+    else:
+        tokens_cte = (
+            """tokens AS (
   SELECT t.doc_id, m.stem AS term, t.pos
   FROM tok_f t JOIN stemmap m USING (term)
 )""" if stemmer else
-        "tokens AS (SELECT * FROM tok_f)")
+            "tokens AS (SELECT * FROM tok_f)")
     return f"""
 tk AS (
   SELECT {id_col} AS doc_id, unnest(toks) AS term,
@@ -393,8 +411,9 @@ def _topk(k: int) -> str:
 
 
 def term_query(term: str, k: int = 10, boost: float = 1.0,
-               table: str = "documents") -> str:
-    return f"""WITH {base_ctes(table)}
+               table: str = "documents",
+               synonyms: dict[str, tuple[str, ...]] | None = None) -> str:
+    return f"""WITH {base_ctes(table, synonyms=synonyms)}
 SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
 WHERE p.term = '{term}'
