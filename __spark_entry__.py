@@ -494,6 +494,19 @@ def _dd_minhash(spark, sf_dir):
     )
 
 
+def _dd_cluster(spark, sf_dir):
+    """Near-dup CLUSTER resolution: the minhash pair set (same params as
+    dd_minhash_lsh) resolved to connected components + canonical
+    keep-list via distributed min-label propagation (Hash-Min) — the
+    form a dedup pass actually applies (operators/dedup.
+    near_dup_clusters)."""
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=2, threshold=0.9,
+        max_bucket_size=100,
+    )
+    return dedup.near_dup_clusters(pairs)
+
+
 def _dd_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
 
@@ -818,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query-time SynExpand
         "ft_syn_index": _ft_syn_index,
         "ft_syn_expand": _ft_syn_expand,
+        # near-dup cluster resolution (connected components over the
+        # dd_minhash_lsh pair set; canonical keep-list)
+        "dd_cluster": _dd_cluster,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -960,6 +976,8 @@ def oracle_sql() -> dict[str, str]:
         "dd_exact": g.exact_dups(key_chars=64),
         "dd_ngram_jaccard": g.ngram_jaccard_pairs(3, 0.5, max_shingle_df=20),
         "dd_minhash_lsh": g.minhash_lsh_pairs(16, 2, 0.9, max_bucket_size=100),
+        "dd_cluster": g.near_dup_clusters(
+            g.minhash_lsh_pairs(16, 2, 0.9, max_bucket_size=100)),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "dd_embed_cosine": g.cosine_pairs_bucketed(0.4, tables=8, planes=4, dim=64),

@@ -319,3 +319,64 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Resolve (doc_a, doc_b) near-dup PAIRS into CLUSTERS: every doc
+    gets cluster_id = the smallest doc_id in its connected component,
+    plus keep = (doc_id == cluster_id) — the canonical-representative
+    keep-list a dedup pass actually applies (pairs alone cannot be
+    applied: deleting one doc of every pair over-deletes transitive
+    groups and under-deletes chains).
+
+    Distributed min-label propagation (the alternating double-join of
+    the connected-components literature — Hash-Min): labels start as the
+    node id; each round every node takes the min label over itself and
+    its neighbors; converged when no label changes.  Rounds needed =
+    component diameter, and near-dup components are template cliques
+    from banding (diameter 1-2, bounded by the LSH bucket guards
+    upstream), so the loop converges in 2-3 rounds in practice;
+    max_iterations bounds pathological chains.  Each round is ONE
+    shuffle (groupBy node) over the edge list — no driver-side graph,
+    no collect; the convergence check is a count() per round, which is
+    the standard price of iterative dataflow on Spark.
+
+    No reference counterpart: single-node Lucene dedups via
+    DuplicateFilter (term-level exact); transitive near-dup grouping is
+    part of the training-data-pipeline surface (SURVEY §2 extension,
+    same family as minhash_lsh_pairs whose output this consumes).
+    """
+    # undirected edge list + self-loops so singletons-in-pairs keep labels
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                       F.col("doc_a").alias("dst")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .persist())
+    labels.count()
+
+    for _ in range(max_iterations):
+        # min over (own label, neighbors' labels) in one aggregation
+        prop = (edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "label")
+                .unionByName(labels)
+                .groupBy("node").agg(F.min("label").alias("label"))
+                .persist())
+        changed = (prop.join(labels.withColumnRenamed("label", "old"),
+                             "node")
+                   .where(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = prop
+        if changed == 0:
+            break
+
+    out = labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"))
+    edges.unpersist()
+    return out

@@ -1826,3 +1826,30 @@ SELECT doc_id, query_id FROM (
 {branches}
 )
 ORDER BY doc_id, query_id"""
+
+
+def near_dup_clusters(pairs_sql: str) -> str:
+    """Connected components over a near-dup pair set (operators/dedup.
+    near_dup_clusters spec): cluster_id = min doc_id reachable, keep =
+    (doc_id == cluster_id).  Recursive label propagation — the UNION
+    dedup terminates the recursion once every (node, reachable-label)
+    row exists."""
+    return f"""WITH RECURSIVE
+pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       (node = min(label)) AS keep
+FROM reach GROUP BY node
+ORDER BY doc_id"""
