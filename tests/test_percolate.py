@@ -93,3 +93,34 @@ def test_plan_is_map_only(spark):
     plan = percolate(df, {"t": ast.Term("table")})._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_percolator(spark, tmp_path):
+    """percolate() applied directly to a readStream micro-batch pipeline:
+    a pure narrow projection, so the same call works on a file stream —
+    the alert/routing deployment shape."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text", "n_chars"])
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    docs.where("doc_id < 3").write.parquet(str(src / "w0"))
+    docs.where("doc_id >= 3").write.parquet(str(src / "w1"))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "w*")))
+    matched = percolate(stream, {
+        "alert_table": ast.Term("table"),
+        "alert_batchmerge": ast.Bool(must=(ast.Term("batch"),
+                                           ast.Term("merge"))),
+    })
+    q = (matched.writeStream.format("memory")
+         .queryName("perc_out").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.doc_id, r.query_id)
+           for r in spark.sql("SELECT * FROM perc_out").collect()}
+    assert got == {(0, "alert_table"), (1, "alert_table"),
+                   (2, "alert_table"), (3, "alert_batchmerge"),
+                   (4, "alert_batchmerge")}
