@@ -537,6 +537,26 @@ def _ann_lsh(spark, sf_dir):
     return ann.rp_lsh_topk(emb, [float(x) for x in qv], k=K, exclude_id=0)
 
 
+def _txt_pack(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): deterministic per-source
+    layout cut into ~2048-token packs via one window running sum
+    (operators/packing.sequence_pack) — no global sort, parallelism =
+    groups."""
+    from lucenenet_spark.operators.packing import sequence_pack
+    return sequence_pack(_docs(spark, sf_dir), budget=2048).select(
+        "doc_id", "n_tokens", "tok_start", "pack_id")
+
+
+def _txt_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by salted md5 bucket
+    (operators/packing.split_assign): stable across runs and cluster
+    layouts, reproduced bit-for-bit by the oracle."""
+    from lucenenet_spark.operators.packing import split_assign
+    return split_assign(
+        _docs(spark, sf_dir),
+        {"train": 0.9, "val": 0.05, "test": 0.05}).select("doc_id", "split")
+
+
 def _txt_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     txt = F.col("text")
@@ -834,6 +854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup cluster resolution (connected components over the
         # dd_minhash_lsh pair set; canonical keep-list)
         "dd_cluster": _dd_cluster,
+        # training-batch shaping: sequence packing + deterministic splits
+        "txt_pack": _txt_pack,
+        "txt_split": _txt_split,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -978,6 +1001,9 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_lsh": g.minhash_lsh_pairs(16, 2, 0.9, max_bucket_size=100),
         "dd_cluster": g.near_dup_clusters(
             g.minhash_lsh_pairs(16, 2, 0.9, max_bucket_size=100)),
+        "txt_pack": g.sequence_pack(2048),
+        "txt_split": g.split_assign(
+            {"train": 0.9, "val": 0.05, "test": 0.05}),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "dd_embed_cosine": g.cosine_pairs_bucketed(0.4, tables=8, planes=4, dim=64),

@@ -1853,3 +1853,44 @@ SELECT node AS doc_id, min(label) AS cluster_id,
        (node = min(label)) AS keep
 FROM reach GROUP BY node
 ORDER BY doc_id"""
+
+
+def sequence_pack(budget: int, group_col: str = "source",
+                  order_col: str = "doc_id",
+                  table: str = "documents") -> str:
+    """operators/packing.sequence_pack twin: start-offset binning over a
+    per-group running token sum (whitespace token count, the ws_tokens
+    spec)."""
+    return f"""WITH t AS (
+  SELECT doc_id, {group_col} AS grp,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM {table}
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY grp ORDER BY {order_col})
+          - n_tokens)::BIGINT AS tok_start
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_start,
+       (tok_start // {budget})::BIGINT AS pack_id
+FROM s ORDER BY doc_id"""
+
+
+def split_assign(weights: dict[str, float], salt: str = "split",
+                 id_col: str = "doc_id", table: str = "documents") -> str:
+    """operators/packing.split_assign twin: salted md5 bucket in [0,1),
+    split names over cumulative weight boundaries in sorted-name order."""
+    total = sum(weights.values())
+    u = (f"('0x' || substr(md5('{salt}:' || {id_col}::VARCHAR), 1, 15))"
+         f"::BIGINT::DOUBLE / {float(16 ** 15)}")
+    names = sorted(weights)
+    acc = 0.0
+    case = "CASE"
+    for name in names[:-1]:
+        acc += weights[name] / total
+        case += f" WHEN {u} < {acc} THEN '{name}'"
+    case += f" ELSE '{names[-1]}' END"
+    return f"""SELECT {id_col} AS doc_id, {case} AS split
+FROM {table} ORDER BY doc_id"""
