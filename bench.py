@@ -68,6 +68,10 @@ def main() -> None:
     for name in [
         "dd_exact", "dd_minhash_lsh", "dd_simhash",
         "ann_cosine_topk", "txt_stats",
+        # round-4 batch shaping (dd_cluster is timed in the single-shot
+        # section below: its label-propagation rounds run eagerly at
+        # construction, so a deferred count() would miss the real work)
+        "txt_pack",
     ]:
         # cold/warm split (round-4 VERDICT item 3): COLD = min over two
         # from-scratch runs with the cache cleared between them (burst
@@ -153,6 +157,10 @@ def main() -> None:
         # round-3 contribs: Highlighter (hit-list fragment markup) and
         # SpellChecker (vocabulary-scan suggest)
         "ft_highlight", "spell_suggest",
+        # round-4: percolator (K registered queries, one map-only scan)
+        # and near-dup cluster resolution (construction runs the
+        # propagation rounds, so the whole call sits inside the timing)
+        "ft_percolate", "dd_cluster",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).collect(), reps=1)
 
