@@ -711,6 +711,34 @@ def _ft_mlt(spark, sf_dir):
     return _searcher(spark, sf_dir).more_like_this(0, max_terms=5, k=K)
 
 
+def _ft_fuzzy_like(spark, sf_dir):
+    """FuzzyLikeThisQuery (contrib Queries): free text fuzzified against
+    the index vocabulary — per-term variant enumeration, sim² ×
+    classic-idf rescore, global top-N — then BM25 hits with the
+    selection boosts folded in (operators/fuzzylike.py; the oracle
+    reruns the whole selection in SQL)."""
+    from lucenenet_spark.operators.fuzzylike import fuzzy_like_this_query
+    s = _searcher(spark, sf_dir)
+    q = fuzzy_like_this_query(s.index, "merge scan", min_similarity=0.5,
+                              prefix_length=1, max_num_terms=12)
+    return s.search(q, K)
+
+
+def _ft_like_text(spark, sf_dir):
+    """SimilarityQueries.FormSimilarQuery: every unique analyzed word of
+    the body as an optional clause."""
+    from lucenenet_spark.operators.fuzzylike import form_similar_query
+    return _search(form_similar_query("spark merge batch"))(spark, sf_dir)
+
+
+def _ft_terms_filter(spark, sf_dir):
+    """contrib TermsFilter: docs containing ANY of a term set, constant
+    score, composed as the filter side of a FilteredQuery."""
+    from lucenenet_spark.operators.fuzzylike import terms_filter
+    return _search(ast.Filtered(
+        ast.Term("spark"), terms_filter(["merge", "batch"])))(spark, sf_dir)
+
+
 def _ann_ivf(spark, sf_dir):
     # nlist=256: centroids ride a broadcast-joined DataFrame, never plan
     # literals, so a realistic list count costs nothing in plan size.
@@ -857,6 +885,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-batch shaping: sequence packing + deterministic splits
         "txt_pack": _txt_pack,
         "txt_split": _txt_split,
+        # contrib Queries completions (src/contrib/Queries/)
+        "ft_fuzzy_like": _ft_fuzzy_like,
+        "ft_like_text": _ft_like_text,
+        "ft_terms_filter": _ft_terms_filter,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -1004,6 +1036,13 @@ def oracle_sql() -> dict[str, str]:
         "txt_pack": g.sequence_pack(2048),
         "txt_split": g.split_assign(
             {"train": 0.9, "val": 0.05, "test": 0.05}),
+        "ft_fuzzy_like": g.fuzzy_like_this(
+            "merge scan", K, min_sim=0.5, prefix_len=1, max_num_terms=12),
+        "ft_like_text": g.bool_query(
+            should=[("spark", 1.0), ("merge", 1.0), ("batch", 1.0)], k=K),
+        "ft_terms_filter": g.bool_filter_term(
+            "spark", should_preds=["term = 'batch'", "term = 'merge'"],
+            not_preds=[], k=K),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "dd_embed_cosine": g.cosine_pairs_bucketed(0.4, tables=8, planes=4, dim=64),

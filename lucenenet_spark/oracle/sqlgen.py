@@ -1894,3 +1894,64 @@ def split_assign(weights: dict[str, float], salt: str = "split",
     case += f" ELSE '{names[-1]}' END"
     return f"""SELECT {id_col} AS doc_id, {case} AS split
 FROM {table} ORDER BY doc_id"""
+
+
+def fuzzy_like_this(text: str, k: int = 10, min_sim: float = 0.5,
+                    prefix_len: int = 0, max_num_terms: int = 25,
+                    max_variants: int = 50,
+                    table: str = "documents") -> str:
+    """operators/fuzzylike.fuzzy_like_this_query twin: the ENTIRE
+    selection pipeline in SQL — fuzzy variant enumeration against the
+    dfs vocabulary, per-term variant cap by (sim DESC, term), df
+    resolution (exact else integer-avg), sim² × classic-idf rescore,
+    global top-N by (score DESC, term), then BM25 hit scoring with the
+    selection boosts folded in."""
+    from ..analysis.tokenizers import tokenize_standard
+    src: list[str] = []
+    for t, _ in tokenize_standard(text):
+        if t not in src:
+            src.append(t)
+    vals = ", ".join(f"('{s}')" for s in src)
+    pre = (f" AND d.term LIKE s.sterm[1:{prefix_len}] || '%'"
+           if prefix_len else "")
+    return f"""WITH {base_ctes(table)},
+src(sterm) AS (SELECT * FROM (VALUES {vals})),
+fcand AS (
+  SELECT s.sterm, d.term, d.df,
+         1.0 - levenshtein(d.term, s.sterm)::DOUBLE
+             / least(length(d.term), length(s.sterm)) AS sim
+  FROM dfs d JOIN src s
+    ON 1.0 - levenshtein(d.term, s.sterm)::DOUBLE
+           / least(length(d.term), length(s.sterm)) >= {min_sim}{pre}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY sterm
+                                 ORDER BY sim DESC, term) AS rn
+    FROM fcand)
+  WHERE rn <= {max_variants}
+),
+dfres AS (
+  -- df = exact term's df when it exists, else integer-avg over ALL
+  -- qualifying variants (pre-cap totals, like AddTerms' accumulators)
+  SELECT c.sterm,
+         coalesce(nullif(any_value(e.df), 0),
+                  (sum(c.df) // count(*))::BIGINT) AS rdf
+  FROM fcand c
+  LEFT JOIN (SELECT term, df FROM dfs) e ON e.term = c.sterm
+  GROUP BY c.sterm
+),
+gsel AS (
+  SELECT c.term,
+         c.sim * c.sim * (ln((SELECT n FROM st) / (r.rdf + 1.0)) + 1.0)
+           AS tboost
+  FROM capped c JOIN dfres r USING (sterm)
+  ORDER BY tboost DESC, c.term
+  LIMIT {max_num_terms}
+)
+SELECT p.doc_id, round(sum(g.tboost * {_bm25()}), 6) AS score
+FROM gsel g JOIN post p ON p.term = g.term
+            JOIN dfs f ON f.term = g.term
+CROSS JOIN st
+GROUP BY p.doc_id
+{_topk(k)}"""
