@@ -731,6 +731,28 @@ def _ft_like_text(spark, sf_dir):
     return _search(form_similar_query("spark merge batch"))(spark, sf_dir)
 
 
+def _ft_auto_stop(spark, sf_dir):
+    """QueryAutoStopWordAnalyzer: stop terms derived from the index
+    (df > int(N x 0.4), one vocab job), then the corpus re-indexed with
+    the extended stop chain — dl/avgdl shift accordingly
+    (analysis/misc.auto_stopwords; oracle re-derives the same set in
+    SQL)."""
+    from lucenenet_spark.analysis.misc import (auto_stop_analyzer,
+                                               auto_stopwords)
+    hit = _ANALYZER_CACHE.get((sf_dir, "autostop"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        stops = auto_stopwords(_seg_index(spark, sf_dir), "text", 0.4)
+        idx = build_segmented_index(
+            spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+            field_name="text", analyzer=auto_stop_analyzer(stops),
+        )
+        s = Searcher(idx)
+        _ANALYZER_CACHE[(sf_dir, "autostop")] = (spark, s)
+    return s.search(ast.Term("dup"), K)
+
+
 def _ft_terms_filter(spark, sf_dir):
     """contrib TermsFilter: docs containing ANY of a term set, constant
     score, composed as the filter side of a FilteredQuery."""
@@ -889,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_like": _ft_fuzzy_like,
         "ft_like_text": _ft_like_text,
         "ft_terms_filter": _ft_terms_filter,
+        # contrib QueryAutoStopWordAnalyzer: index-derived stop set
+        "ft_auto_stop": _ft_auto_stop,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -1043,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_terms_filter": g.bool_filter_term(
             "spark", should_preds=["term = 'batch'", "term = 'merge'"],
             not_preds=[], k=K),
+        "ft_auto_stop": g.term_query("dup", K, auto_stop_pct=0.4),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "dd_embed_cosine": g.cosine_pairs_bucketed(0.4, tables=8, planes=4, dim=64),

@@ -302,7 +302,8 @@ stemmap AS MATERIALIZED (
 
 def base_ctes(table: str = "documents", id_col: str = "doc_id",
               text_col: str = "text", stemmer: str | None = None,
-              synonyms: dict[str, tuple[str, ...]] | None = None) -> str:
+              synonyms: dict[str, tuple[str, ...]] | None = None,
+              auto_stop_pct: float | None = None) -> str:
     """tk(all tokens+pos) -> tokens(stop/len filtered[, stemmed]) -> dl,
     st(n,avgdl), post(term,doc,tf,dl), dfs(term,df) — the index build in
     SQL.  stemmer='english'|'german' inserts the Snowball vocabulary
@@ -322,7 +323,19 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
         from ..analysis.snowball import GERMAN_STOP_WORDS
         stop_sql = ",".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
         stem_ctes = "," + _german_ctes()
-    if synonyms:
+    if auto_stop_pct is not None:
+        # QueryAutoStopWordAnalyzer twin (analysis/misc.auto_stopwords):
+        # stop terms = df > int(numDocs * pct) over the DELEGATE chain
+        stem_ctes = f""",
+astop AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df0 FROM tok_f GROUP BY term)
+  WHERE df0 > floor((SELECT count(*) FROM {table}) * {auto_stop_pct})::BIGINT
+)"""
+        tokens_cte = """tokens AS (
+  SELECT * FROM tok_f ANTI JOIN astop USING (term)
+)"""
+    elif synonyms:
         vals = ", ".join(f"('{w}', '{s}')"
                          for w in sorted(synonyms) for s in synonyms[w])
         stem_ctes = f""",
@@ -412,8 +425,10 @@ def _topk(k: int) -> str:
 
 def term_query(term: str, k: int = 10, boost: float = 1.0,
                table: str = "documents",
-               synonyms: dict[str, tuple[str, ...]] | None = None) -> str:
-    return f"""WITH {base_ctes(table, synonyms=synonyms)}
+               synonyms: dict[str, tuple[str, ...]] | None = None,
+               auto_stop_pct: float | None = None) -> str:
+    return f"""WITH {base_ctes(table, synonyms=synonyms,
+                               auto_stop_pct=auto_stop_pct)}
 SELECT p.doc_id, round({boost} * {_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
 WHERE p.term = '{term}'
