@@ -913,6 +913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_filter": _ft_terms_filter,
         # contrib QueryAutoStopWordAnalyzer: index-derived stop set
         "ft_auto_stop": _ft_auto_stop,
+        # contrib ChainedFilter: XOR/ANDNOT filter algebra
+        "ft_chained_filter": _search(ast.Filtered(
+            ast.Term("spark"),
+            ast.ChainedFilter((ast.Prefix("st"), ast.Prefix("ba")),
+                              "XOR"))),
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -1068,6 +1073,9 @@ def oracle_sql() -> dict[str, str]:
             "spark", should_preds=["term = 'batch'", "term = 'merge'"],
             not_preds=[], k=K),
         "ft_auto_stop": g.term_query("dup", K, auto_stop_pct=0.4),
+        "ft_chained_filter": g.chained_filter_term(
+            "spark", ["term LIKE 'st%'", "term LIKE 'ba%'"],
+            ["XOR", "XOR"], k=K),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "dd_embed_cosine": g.cosine_pairs_bucketed(0.4, tables=8, planes=4, dim=64),

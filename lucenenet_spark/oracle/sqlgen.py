@@ -1970,3 +1970,46 @@ FROM gsel g JOIN post p ON p.term = g.term
 CROSS JOIN st
 GROUP BY p.doc_id
 {_topk(k)}"""
+
+
+def chained_filter_term(term: str, set_preds: list[str],
+                        ops: list[str], k: int = 10,
+                        table: str = "documents") -> str:
+    """plans/lowering._chained_filter_ids twin: fold doc sets (each =
+    docs containing a term matching the predicate) under OR/AND/ANDNOT/
+    XOR with the reference's seeding, then score `term` over the
+    surviving set."""
+    ctes = []
+    for i, p in enumerate(set_preds):
+        ctes.append(f"s{i} AS (SELECT DISTINCT doc_id FROM post "
+                    f"WHERE {p})")
+    if ops[0] == "ANDNOT":
+        ctes.append(f"r0 AS (SELECT doc_id FROM {table} "
+                    "WHERE doc_id NOT IN (SELECT doc_id FROM s0))")
+    else:
+        ctes.append("r0 AS (SELECT doc_id FROM s0)")
+    for i, op in list(enumerate(ops))[1:]:
+        prev, cur = f"r{i - 1}", f"s{i}"
+        if op == "OR":
+            body = (f"SELECT doc_id FROM {prev} UNION "
+                    f"SELECT doc_id FROM {cur}")
+        elif op == "AND":
+            body = (f"SELECT doc_id FROM {prev} "
+                    f"WHERE doc_id IN (SELECT doc_id FROM {cur})")
+        elif op == "ANDNOT":
+            body = (f"SELECT doc_id FROM {prev} "
+                    f"WHERE doc_id NOT IN (SELECT doc_id FROM {cur})")
+        else:  # XOR
+            body = (f"SELECT doc_id FROM (SELECT doc_id FROM {prev} "
+                    f"UNION SELECT doc_id FROM {cur}) "
+                    f"WHERE doc_id NOT IN (SELECT a.doc_id FROM {prev} a "
+                    f"JOIN {cur} b USING (doc_id))")
+        ctes.append(f"r{i} AS ({body})")
+    last = f"r{len(ops) - 1}"
+    joined = ",\n".join(ctes)
+    return f"""WITH {base_ctes(table)},
+{joined}
+SELECT p.doc_id, round({_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}' AND p.doc_id IN (SELECT doc_id FROM {last})
+{_topk(k)}"""

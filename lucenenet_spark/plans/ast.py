@@ -205,6 +205,31 @@ class BooleanFilter(Query):
 
 
 @dataclass(frozen=True)
+class ChainedFilter(Query):
+    """contrib ChainedFilter (src/contrib/Analyzers/Filters/
+    ChainedFilter.cs:91-215): left-fold of filter DocIdSets under
+    OR/AND/ANDNOT/XOR.  Seeding follows InitialResult (:124-147): AND
+    seeds with the FIRST filter's set, ANDNOT with its complement over
+    the live-doc universe, OR/XOR with the empty set (so the first fold
+    step yields the first filter's set).  `logic` is one op for the
+    whole chain or a per-step tuple (len == len(filters)); scores are
+    constant like every Filter."""
+    filters: tuple[Query, ...]
+    logic: tuple[str, ...] | str = "OR"
+    boost: float = 1.0
+
+    def resolved_ops(self) -> tuple[str, ...]:
+        ops = ((self.logic,) * len(self.filters)
+               if isinstance(self.logic, str) else tuple(self.logic))
+        if len(ops) != len(self.filters):
+            raise ValueError("logic array must match filters length")
+        bad = set(ops) - {"OR", "AND", "ANDNOT", "XOR"}
+        if bad:
+            raise ValueError(f"unknown chain logic {bad}")
+        return ops
+
+
+@dataclass(frozen=True)
 class NumericRange(Query):
     """Constant-score numeric range over a stored column. The reference
     decomposes ranges into trie terms (src/Lucene.Net/Search/

@@ -390,7 +390,37 @@ class Searcher:
             return self._expand_match_ids(q)
         if isinstance(q, ast.BooleanFilter):
             return self._boolean_filter_ids(q)
+        if isinstance(q, ast.ChainedFilter):
+            return self._chained_filter_ids(q)
         return self.score_frame(q).select("doc_id")
+
+    def _chained_filter_ids(self, q: "ast.ChainedFilter") -> DataFrame:
+        """ChainedFilter.GetDocIdSet as DataFrame set algebra (see
+        ast.ChainedFilter).  Each step is one semi/anti join or
+        union-distinct on doc_id; XOR = (a ∪ b) − (a ∩ b).  The ANDNOT
+        seed complements over the stored-doc universe (the MaxDoc bitset
+        flip, ChainedFilter.cs:137-140)."""
+        ops = q.resolved_ops()
+        sets = [self.match_frame(f).select("doc_id").distinct()
+                for f in q.filters]
+        if ops[0] == "ANDNOT":
+            universe = self.index.stored.select(
+                F.col(self.index.id_col).alias("doc_id"))
+            result = universe.join(sets[0], "doc_id", "left_anti")
+        else:  # AND seeds with the set itself; OR/XOR fold from empty
+            result = sets[0]
+        for s, op in zip(sets[1:], ops[1:]):
+            if op == "OR":
+                result = result.unionByName(s).distinct()
+            elif op == "AND":
+                result = result.join(s, "doc_id", "left_semi")
+            elif op == "ANDNOT":
+                result = result.join(s, "doc_id", "left_anti")
+            else:  # XOR: symmetric difference
+                both = result.join(s, "doc_id", "left_semi")
+                result = (result.unionByName(s).distinct()
+                          .join(both, "doc_id", "left_anti"))
+        return result
 
     # ---- leaves
 
