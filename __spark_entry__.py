@@ -243,6 +243,35 @@ def _ft_snowball_de(spark, sf_dir):
         ast.Term("tabl"), K)
 
 
+def _cjk_translit(s: str) -> str:
+    return s.translate(str.maketrans(sqlgen.CJK_LAT36, sqlgen.CJK_HAN36))
+
+
+def _ft_cjk_term(spark, sf_dir):
+    """contrib CJK analyzer (CJKTokenizer.cs bigram path): the English
+    text is deterministically transliterated to Han ideographs in-plan
+    ([a-z0-9] -> first 36 unified ideographs), indexed through the
+    overlapping-bigram chain, and queried with a bigram term; the
+    DuckDB oracle recomputes the same transliteration + bigram
+    tokenization from the base table (sqlgen.cjk_term_query)."""
+    from lucenenet_spark.analysis.cjk import cjk_analyzer
+    hit = _ANALYZER_CACHE.get((sf_dir, "cjk"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.translate(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                sqlgen.CJK_LAT36, sqlgen.CJK_HAN36).alias("text"))
+        idx = build_segmented_index(
+            spark, d, text_col="text", id_col="doc_id", field_name="text",
+            analyzer=cjk_analyzer())
+        s = Searcher(idx)
+        _ANALYZER_CACHE[(sf_dir, "cjk")] = (spark, s)
+    return s.search(ast.Term(_cjk_translit("sp")), K)
+
+
 _PAYLOAD_CACHE: dict[str, tuple] = {}
 
 
@@ -918,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ast.Term("spark"),
             ast.ChainedFilter((ast.Prefix("st"), ast.Prefix("ba")),
                               "XOR"))),
+        # contrib CJK analyzer: overlapping-bigram chain over a
+        # deterministic latin->Han transliteration of the corpus
+        "ft_cjk_term": _ft_cjk_term,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -1076,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_chained_filter": g.chained_filter_term(
             "spark", ["term LIKE 'st%'", "term LIKE 'ba%'"],
             ["XOR", "XOR"], k=K),
+        "ft_cjk_term": g.cjk_term_query(_cjk_translit("sp"), k=K),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "dd_embed_cosine": g.cosine_pairs_bucketed(0.4, tables=8, planes=4, dim=64),

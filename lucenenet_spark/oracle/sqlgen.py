@@ -2013,3 +2013,54 @@ SELECT p.doc_id, round({_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
 WHERE p.term = '{term}' AND p.doc_id IN (SELECT doc_id FROM {last})
 {_topk(k)}"""
+
+
+# Deterministic latin->Han transliteration alphabet shared with the
+# ft_cjk_term entry: [a-z0-9] maps to the first 36 CJK unified
+# ideographs, so the CJK bigram chain is exercisable over the English
+# test corpus with no external data.
+CJK_LAT36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+CJK_HAN36 = "".join(chr(0x4E00 + i) for i in range(36))
+
+
+def cjk_term_query(term: str, k: int = 10, table: str = "documents") -> str:
+    """analysis/cjk.py twin (CJKTokenizer.cs DOUBLE_TOKEN_TYPE path):
+    transliterate [a-z0-9] to Han in SQL, split runs on spaces, emit
+    overlapping bigrams (an isolated char emits itself), then BM25 the
+    given (already-transliterated) bigram term.  Positions are not
+    needed for a term query, so the fold stops at (term, doc, tf, dl)."""
+    return f"""WITH
+runs AS (
+  SELECT doc_id, unnest(rs) AS run
+  FROM (SELECT doc_id,
+               regexp_extract_all(
+                 translate(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           '{CJK_LAT36}', '{CJK_HAN36}'),
+                 '[^ ]+') AS rs
+        FROM {table})
+),
+ri AS (
+  SELECT doc_id, run,
+         unnest(generate_series(1, greatest(length(run) - 1, 1))) AS i
+  FROM runs
+),
+tokens AS (
+  SELECT doc_id,
+         CASE WHEN length(run) = 1 THEN run
+              ELSE substr(run, i::INT, 2) END AS term
+  FROM ri
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM tokens)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl
+  FROM tokens t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT p.doc_id, round({_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
