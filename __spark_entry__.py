@@ -272,6 +272,28 @@ def _ft_cjk_term(spark, sf_dir):
     return s.search(ast.Term(_cjk_translit("sp")), K)
 
 
+def _ft_cn_term(spark, sf_dir):
+    """contrib ChineseAnalyzer (ChineseTokenizer.cs: each ideograph is
+    its OWN token, vs CJK's bigrams) over the same deterministic
+    latin->Han transliteration; oracle = sqlgen.chinese_term_query."""
+    from lucenenet_spark.analysis.cjk import chinese_analyzer
+    hit = _ANALYZER_CACHE.get((sf_dir, "cn"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        d = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.translate(
+                F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+                sqlgen.CJK_LAT36, sqlgen.CJK_HAN36).alias("text"))
+        idx = build_segmented_index(
+            spark, d, text_col="text", id_col="doc_id", field_name="text",
+            analyzer=chinese_analyzer())
+        s = Searcher(idx)
+        _ANALYZER_CACHE[(sf_dir, "cn")] = (spark, s)
+    return s.search(ast.Term(_cjk_translit("s")), K)
+
+
 _PAYLOAD_CACHE: dict[str, tuple] = {}
 
 
@@ -950,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contrib CJK analyzer: overlapping-bigram chain over a
         # deterministic latin->Han transliteration of the corpus
         "ft_cjk_term": _ft_cjk_term,
+        # contrib ChineseAnalyzer: single-ideograph tokens, same translit
+        "ft_cn_term": _ft_cn_term,
         "mm_meta": _mm_meta,
         "dd_simhash": _dd_simhash,
         "ann_lsh_topk": _ann_lsh,
@@ -1109,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
             "spark", ["term LIKE 'st%'", "term LIKE 'ba%'"],
             ["XOR", "XOR"], k=K),
         "ft_cjk_term": g.cjk_term_query(_cjk_translit("sp"), k=K),
+        "ft_cn_term": g.chinese_term_query(_cjk_translit("s"), k=K),
         "dd_simhash": g.simhash(32),
         "dd_simhash_pairs": g.simhash_pairs(32, 3),
         "dd_embed_cosine": g.cosine_pairs_bucketed(0.4, tables=8, planes=4, dim=64),

@@ -84,3 +84,68 @@ def cjk_analyzer(stopwords=ENGLISH_STOP_WORDS):
     def analyze(text):
         return cjk_tokens(text, stopwords)
     return analyze
+
+
+# --- ChineseAnalyzer (contrib Analyzers/Cn) ---------------------------
+#
+# ChineseTokenizer (src/contrib/Analyzers/Cn/ChineseTokenizer.cs:145-168)
+# differs from CJKTokenizer: each OtherLetter (Lo) char is its OWN
+# token, while Ll/Lu/Nd chars accumulate into a lowercased run.
+# ChineseFilter (ChineseFilter.cs:56-115) then drops its 30-word English
+# stop set, single-char latin tokens, and tokens starting with a digit
+# ("numeric tokens are removed").  The filter does not track skipped
+# positions, so surviving tokens sit at CONSECUTIVE positions (no
+# holes) — pinned by test_chinese_no_position_holes.
+
+CHINESE_STOP_WORDS = frozenset(
+    "and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split())
+
+
+def _cat(ch: str) -> str:
+    import unicodedata
+    return unicodedata.category(ch)
+
+
+def chinese_tokens(text: str | None) -> list[tuple[str, int]]:
+    """(token, position) under the ChineseAnalyzer chain."""
+    if not text:
+        return []
+    raw: list[str] = []
+    buf: list[str] = []
+    for ch in text:
+        c = _cat(ch)
+        if c in ("Ll", "Lu", "Nd"):
+            buf.append(ch.lower())
+            if len(buf) == MAX_TOKEN_LENGTH:
+                raw.append("".join(buf))
+                buf = []
+        elif c == "Lo":
+            if buf:
+                raw.append("".join(buf))
+                buf = []
+            raw.append(ch)
+        else:
+            if buf:
+                raw.append("".join(buf))
+                buf = []
+    if buf:
+        raw.append("".join(buf))
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for tok in raw:
+        if tok in CHINESE_STOP_WORDS:
+            continue
+        c0 = _cat(tok[0])
+        if c0 == "Lo" or (c0 in ("Ll", "Lu") and len(tok) > 1):
+            out.append((tok, pos))
+            pos += 1
+        # digits-first and single-char latin tokens are dropped
+    return out
+
+
+def chinese_analyzer():
+    """analyzer= callable for the index builders (ChineseAnalyzer chain)."""
+    def analyze(text):
+        return chinese_tokens(text)
+    return analyze

@@ -2064,3 +2064,34 @@ SELECT p.doc_id, round({_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
 WHERE p.term = '{term}'
 {_topk(k)}"""
+
+
+def chinese_term_query(term: str, k: int = 10,
+                       table: str = "documents") -> str:
+    """analysis/cjk.chinese_tokens twin (ChineseTokenizer.cs single-char
+    path): after the same latin->Han transliteration every non-space
+    char is its own token (all Lo, so ChineseFilter keeps each one)."""
+    return f"""WITH
+tokens AS (
+  SELECT doc_id, unnest(ts) AS term
+  FROM (SELECT doc_id,
+               regexp_extract_all(
+                 translate(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           '{CJK_LAT36}', '{CJK_HAN36}'),
+                 '[^ ]') AS ts
+        FROM {table})
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM tokens)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl
+  FROM tokens t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT p.doc_id, round({_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""

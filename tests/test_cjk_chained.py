@@ -38,6 +38,26 @@ def test_cjk_phrase_via_consecutive_bigrams(spark):
     assert ph == {0}
 
 
+def test_chinese_single_char_tokens():
+    from lucenenet_spark.analysis.cjk import chinese_tokens
+    # each ideograph its own token; latin run lowered; stopword 'the'
+    # dropped; single-char latin and digit-first tokens dropped
+    assert chinese_tokens("The 中文 Spark x 42abc") == [
+        ("中", 0), ("文", 1), ("spark", 2),
+    ]
+    # mixed run split at the Lo boundary (ChineseTokenizer.cs:155-163)
+    assert chinese_tokens("ab中cd") == [("ab", 0), ("中", 1), ("cd", 2)]
+
+
+def test_chinese_no_position_holes():
+    from lucenenet_spark.analysis.cjk import chinese_tokens
+    # ChineseFilter skips tokens WITHOUT advancing positions: survivors
+    # are consecutive (deviation-free vs the reference, which has no
+    # posIncrement handling in this filter)
+    toks = chinese_tokens("the 9x 中 of 文")
+    assert toks == [("中", 0), ("文", 1)]
+
+
 @pytest.fixture()
 def cf_searcher(spark):
     docs = spark.createDataFrame(
