@@ -294,6 +294,97 @@ def _ft_cn_term(spark, sf_dir):
     return s.search(ast.Term(_cjk_translit("s")), K)
 
 
+def _intl_searcher(spark, sf_dir, kind, lat, tgt, analyzer):
+    """Searcher over the corpus transliterated latin->target IN-PLAN
+    (no external data), indexed through a contrib language chain via
+    the analyzer= seam; the DuckDB oracle replays the same translate()
+    + chain in SQL (sqlgen.{russian,greek,arabic}_term_query)."""
+    hit = _ANALYZER_CACHE.get((sf_dir, kind))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.translate(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            lat, tgt).alias("text"))
+    idx = build_segmented_index(
+        spark, d, text_col="text", id_col="doc_id", field_name="text",
+        analyzer=analyzer)
+    s = Searcher(idx)
+    _ANALYZER_CACHE[(sf_dir, kind)] = (spark, s)
+    return s
+
+
+def _ft_russian_term(spark, sf_dir):
+    """contrib RussianAnalyzer (RussianAnalyzer.cs:136-144: letter+digit
+    tokenizer -> lower -> stop -> RussianStemmer) over a deterministic
+    latin->Cyrillic transliteration; the stemmer port is validated
+    against the reference's own 49,673-pair golden corpus
+    (test/contrib/Analyzers/Ru/{words,stems}UTF8.txt)."""
+    from lucenenet_spark.analysis.intl import russian_analyzer
+    s = _intl_searcher(spark, sf_dir, "ru",
+                       sqlgen.RU_LAT26, sqlgen.RU_CYR26, russian_analyzer())
+    return s.search(ast.Term(_ru_qterm()), K)
+
+
+def _ft_greek_term(spark, sf_dir):
+    """contrib GreekAnalyzer (GreekAnalyzer.cs:63-71: StandardTokenizer
+    -> GreekLowerCaseFilter -> Stop).  The transliteration alphabet
+    routes through final-sigma and tonos forms so the lowercase
+    filter's normalization (GreekLowerCaseFilter.cs:55-120) is
+    exercised on every document."""
+    from lucenenet_spark.analysis.intl import greek_analyzer
+    s = _intl_searcher(spark, sf_dir, "el",
+                       sqlgen.EL_LAT36, sqlgen.EL_GRK36, greek_analyzer())
+    return s.search(ast.Term(_el_qterm()), K)
+
+
+def _ft_arabic_term(spark, sf_dir):
+    """contrib ArabicAnalyzer (ArabicAnalyzer.cs:119-129: letter+mark
+    tokenizer -> lower -> Stop on the RAW list -> ArabicNormalization
+    -> ArabicStemmer).  Digits transliterate to harakat/tatweel so the
+    normalizer's mark deletion runs on real tokens."""
+    from lucenenet_spark.analysis.intl import arabic_analyzer
+    s = _intl_searcher(spark, sf_dir, "ar",
+                       sqlgen.AR_LAT36, sqlgen.AR_TGT36, arabic_analyzer())
+    return s.search(ast.Term(_ar_qterm()), K)
+
+
+def _ru_qterm() -> str:
+    from lucenenet_spark.analysis.intl import russian_stem
+    return russian_stem(
+        "merge".translate(str.maketrans(sqlgen.RU_LAT26, sqlgen.RU_CYR26)))
+
+
+def _el_qterm() -> str:
+    from lucenenet_spark.analysis.intl import greek_lower
+    return greek_lower(
+        "spark".translate(str.maketrans(sqlgen.EL_LAT36, sqlgen.EL_GRK36)))
+
+
+def _ar_qterm() -> str:
+    from lucenenet_spark.analysis.intl import arabic_normalize, arabic_stem
+    return arabic_stem(arabic_normalize(
+        "table".translate(str.maketrans(sqlgen.AR_LAT36, sqlgen.AR_TGT36))))
+
+
+def _ft_czech_term(spark, sf_dir):
+    """contrib CzechAnalyzer (CzechAnalyzer.cs:125-132): the standard
+    chain with the Czech stop set.  Query term 'the' is discriminating:
+    the English chain stops it, the Czech chain indexes it."""
+    from lucenenet_spark.analysis.intl import czech_analyzer
+    hit = _ANALYZER_CACHE.get((sf_dir, "cz"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        idx = build_segmented_index(
+            spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+            field_name="text", analyzer=czech_analyzer())
+        s = Searcher(idx)
+        _ANALYZER_CACHE[(sf_dir, "cz")] = (spark, s)
+    return s.search(ast.Term("the"), K)
+
+
 _PAYLOAD_CACHE: dict[str, tuple] = {}
 
 
@@ -1015,6 +1106,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WAND + per-segment delete bitmaps (round 4; wand/deleted
         # families are driver-covered by ft_wand and ft_deleted above)
         "ft_wand_deleted": _ft_wand_deleted,
+        # contrib language analyzers (round 4: analysis/intl.py) —
+        # deterministic in-plan transliteration, full SQL oracles
+        "ft_russian_term": _ft_russian_term,
+        "ft_greek_term": _ft_greek_term,
+        "ft_arabic_term": _ft_arabic_term,
+        "ft_czech_term": _ft_czech_term,
     }
 
 
@@ -1179,4 +1276,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_wand_deleted": g.deleted_bool_or(
             [("spark", 1.0), ("merge", 1.0), ("batch", 1.0)],
             "lang = 'de'", K),
+        "ft_russian_term": g.russian_term_query(_ru_qterm(), k=K),
+        "ft_greek_term": g.greek_term_query(_el_qterm(), k=K),
+        "ft_arabic_term": g.arabic_term_query(_ar_qterm(), k=K),
+        "ft_czech_term": g.czech_term_query("the", k=K),
     }

@@ -303,7 +303,8 @@ stemmap AS MATERIALIZED (
 def base_ctes(table: str = "documents", id_col: str = "doc_id",
               text_col: str = "text", stemmer: str | None = None,
               synonyms: dict[str, tuple[str, ...]] | None = None,
-              auto_stop_pct: float | None = None) -> str:
+              auto_stop_pct: float | None = None,
+              stop_words=None) -> str:
     """tk(all tokens+pos) -> tokens(stop/len filtered[, stemmed]) -> dl,
     st(n,avgdl), post(term,doc,tf,dl), dfs(term,df) — the index build in
     SQL.  stemmer='english'|'german' inserts the Snowball vocabulary
@@ -316,6 +317,10 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
     if stemmer and synonyms:
         raise ValueError("stemmer and synonyms are separate chains")
     stop_sql = STOPLIST_SQL
+    if stop_words is not None:
+        # language-analyzer stop-set override (e.g. CzechAnalyzer's
+        # standard chain with the Czech list; czech_term_query)
+        stop_sql = ",".join(f"'{w}'" for w in sorted(stop_words))
     stem_ctes = ""
     if stemmer == "english":
         stem_ctes = "," + _porter2_ctes()
@@ -2039,7 +2044,7 @@ runs AS (
                  '[^ ]+') AS rs
         FROM {table})
 ),
-ri AS (
+ri AS MATERIALIZED (
   SELECT doc_id, run,
          unnest(generate_series(1, greatest(length(run) - 1, 1))) AS i
   FROM runs
@@ -2091,6 +2096,282 @@ post AS (
   GROUP BY t.term, t.doc_id
 ),
 dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT p.doc_id, round({_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+# ---- contrib language analyzers (analysis/intl.py twins) -------------
+# Deterministic latin->target transliteration alphabets, shared with the
+# ft_russian_term / ft_greek_term / ft_arabic_term entries: each maps the
+# ASCII corpus into the target script IN-PLAN so the language chains are
+# exercisable with no external data, and the SAME mapping is replayed
+# here in SQL.  Russian keeps ASCII digits (RussianLetterTokenizer
+# accepts letters + '0'-'9'); Greek maps digits onto letters a-j's
+# targets (the Unicode ALPHANUM branch then yields one token per run on
+# both sides); Arabic maps digits onto the eight harakat + tatweel +
+# alef-hamza (all normalizer-relevant marks, exercising deletion).
+RU_LAT26 = "abcdefghijklmnopqrstuvwxyz"
+RU_CYR26 = "абцдефгхийклмнопярстувшюыз"
+EL_LAT36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+EL_GRK36 = "αβγδεφξηιόκλμνοπψρςτυάωχέζαβγδεφξηιό"
+AR_LAT36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+AR_TGT36 = ("ابصدةفجهعزكلمنقحطرستثخوشيذ"
+            "ًٌٍَُِّْـأ")
+
+# GreekLowerCaseFilter normalization pairs reachable through EL_GRK36
+# (final sigma + tonos vowels; GreekLowerCaseFilter.cs:55-120)
+_EL_NORM_FROM = "ςόάέ"
+_EL_NORM_TO = "σοαε"
+# ArabicNormalizer (ArabicNormalizer.cs:77-110): seated alefs -> alef,
+# dotless yeh -> yeh, teh marbuta -> heh; tatweel + harakat DELETED
+# (translate() drops from-chars with no to-counterpart).
+_AR_NORM_FROM = ("آأإىة" "ـًٌٍَُِّْ")
+_AR_NORM_TO = "اايه"
+
+_RU_V = "аеиоуыэюя"  # RussianStemmer.vowels
+
+
+def _xlit_tk(table: str, lat: str, tgt: str) -> str:
+    """tk(doc_id, term): lower -> keep [a-z0-9 ] -> transliterate ->
+    runs.  After transliteration a token is exactly one [^ ]+ chunk on
+    both sides (see the alphabet notes above)."""
+    return f"""tk AS (
+  SELECT doc_id, unnest(ts) AS term
+  FROM (SELECT doc_id,
+               regexp_extract_all(
+                 translate(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           '{lat}', '{tgt}'),
+                 '[^ ]+') AS ts
+        FROM {table})
+)"""
+
+
+def _bm25_tail(table: str, term: str, k: int) -> str:
+    """dl/st/post/dfs over a `tokens(doc_id, term)` CTE + scored SELECT."""
+    return f"""dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM {table}) AS n,
+              (SELECT count(*) FROM tokens)::DOUBLE /
+              (SELECT count(*) FROM {table}) AS avgdl),
+post AS (
+  SELECT t.term, t.doc_id, count(*) AS tf, any_value(d.dl) AS dl
+  FROM tokens t JOIN dl d USING (doc_id)
+  GROUP BY t.term, t.doc_id
+),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+SELECT p.doc_id, round({_bm25()}, 6) AS score
+FROM post p JOIN dfs f USING (term) CROSS JOIN st
+WHERE p.term = '{term}'
+{_topk(k)}"""
+
+
+def _ru_find_sql(z: str, table) -> str:
+    """findEnding (RussianStemmer.cs:292-318): the reference iterates
+    the ending class from the LAST entry to the first and takes the
+    first match, so the CASE enumerates reversed table order."""
+    whens = " ".join(f"WHEN ends_with({z}, '{e}') THEN '{e}'"
+                     for e in reversed(table))
+    return f"(CASE {whens} ELSE '' END)"
+
+
+def _chop(z: str, e: str) -> str:
+    return f"substr({z}, 1, length({z}) - length({e}))"
+
+
+def _russian_ctes() -> str:
+    """Vocabulary-level RussianStemmer as chained CTEs ending in
+    stemmap(w, stem) — the exact stage sequence of
+    analysis/intl.russian_stem (RussianStemmer.cs:473-496), generated
+    from the SAME ending tables so the two sides cannot drift.  The
+    Python port is validated against the reference's own 49,673-pair
+    golden corpus (test/contrib/Analyzers/Ru/{words,stems}UTF8.txt)."""
+    from ..analysis import intl as I
+
+    V = _RU_V
+    mark = f"'^[^{V}]*[{V}]+[^{V}]'"
+    m2 = f"length(regexp_extract(substr(w, r1 + 1), {mark}))"
+    chop1 = "substr(z, 1, length(z) - 1)"
+    pred = ("({e} <> '' AND (ends_with(z, 'а' || {e}) "
+            "OR ends_with(z, 'я' || {e})))")
+    return f"""ruvoc AS MATERIALIZED (SELECT DISTINCT term AS w FROM tok_f),
+rum AS MATERIALIZED (
+  SELECT w,
+         length(regexp_extract(w, '^[^{V}]*[{V}]')) AS m0,
+         length(regexp_extract(w, {mark})) AS m1
+  FROM ruvoc),
+rup AS MATERIALIZED (
+  SELECT w,
+         CASE WHEN m0 > 0 AND m0 < length(w) THEN m0 ELSE 0 END AS rv,
+         CASE WHEN m1 > 0 AND m1 < length(w) THEN m1 ELSE 0 END AS r1
+  FROM rum),
+rup2 AS MATERIALIZED (
+  SELECT w, rv,
+         CASE WHEN r1 > 0 AND {m2} > 0 AND r1 + {m2} < length(w)
+              THEN r1 + {m2} ELSE 0 END AS r2
+  FROM rup),
+ruz AS MATERIALIZED (SELECT w, rv, r2, substr(w, rv + 1) AS z FROM rup2),
+rg1 AS MATERIALIZED (SELECT *, {_ru_find_sql('z', I.RU_PERFECTIVE_GERUND_1)} AS e1,
+               {_ru_find_sql('z', I.RU_PERFECTIVE_GERUND_2)} AS e2 FROM ruz),
+rg2 AS MATERIALIZED (SELECT w, rv, r2, e1, e2, z,
+        {pred.format(e='e1')} AS p1ok FROM rg1),
+rg3 AS MATERIALIZED (SELECT w, rv, r2,
+        CASE WHEN p1ok THEN {_chop('z', 'e1')}
+             WHEN e2 <> '' THEN {_chop('z', 'e2')}
+             ELSE z END AS z,
+        (p1ok OR e2 <> '') AS pg
+        FROM rg2),
+rr1 AS MATERIALIZED (SELECT w, rv, r2, pg,
+        CASE WHEN re0 <> '' THEN {_chop('z', 're0')} ELSE z END AS z
+        FROM (SELECT *, CASE WHEN NOT pg
+                             THEN {_ru_find_sql('z', I.RU_REFLEXIVE)}
+                             ELSE '' END AS re0 FROM rg3)),
+ra1 AS MATERIALIZED (SELECT *, CASE WHEN NOT pg THEN {_ru_find_sql('z', I.RU_ADJECTIVE)}
+                       ELSE '' END AS aj FROM rr1),
+ra2 AS MATERIALIZED (SELECT w, rv, r2, pg, (aj <> '') AS adj,
+        CASE WHEN aj <> '' THEN {_chop('z', 'aj')} ELSE z END AS z FROM ra1),
+ra3 AS MATERIALIZED (SELECT *, CASE WHEN adj THEN {_ru_find_sql('z', I.RU_PARTICIPLE_1)}
+                       ELSE '' END AS p1,
+                  CASE WHEN adj THEN {_ru_find_sql('z', I.RU_PARTICIPLE_2)}
+                       ELSE '' END AS p2 FROM ra2),
+ra4 AS MATERIALIZED (SELECT w, rv, r2, pg, adj,
+        CASE WHEN adj AND {pred.format(e='p1')} THEN {_chop('z', 'p1')}
+             WHEN adj AND p2 <> '' THEN {_chop('z', 'p2')}
+             ELSE z END AS z
+        FROM ra3),
+rvb1 AS MATERIALIZED (SELECT *, CASE WHEN NOT pg AND NOT adj
+                        THEN {_ru_find_sql('z', I.RU_VERB_1)}
+                        ELSE '' END AS v1,
+                   CASE WHEN NOT pg AND NOT adj
+                        THEN {_ru_find_sql('z', I.RU_VERB_2)}
+                        ELSE '' END AS v2 FROM ra4),
+rvb2 AS MATERIALIZED (SELECT w, rv, r2, pg, adj, v1, v2, z,
+         {pred.format(e='v1')} AS v1ok FROM rvb1),
+rvb3 AS MATERIALIZED (SELECT w, rv, r2, pg, adj,
+         CASE WHEN v1ok THEN {_chop('z', 'v1')}
+              WHEN v2 <> '' THEN {_chop('z', 'v2')}
+              ELSE z END AS z,
+         (v1ok OR v2 <> '') AS vb FROM rvb2),
+rn1 AS MATERIALIZED (SELECT *, CASE WHEN NOT pg AND NOT adj AND NOT vb
+                       THEN {_ru_find_sql('z', I.RU_NOUN)}
+                       ELSE '' END AS ne FROM rvb3),
+rn2 AS MATERIALIZED (SELECT w, rv, r2,
+        CASE WHEN ne <> '' THEN {_chop('z', 'ne')} ELSE z END AS z FROM rn1),
+ri AS MATERIALIZED (SELECT w, rv, r2,
+       CASE WHEN ends_with(z, 'и') THEN {chop1} ELSE z END AS z FROM rn2),
+rd1 AS MATERIALIZED (SELECT *, {_ru_find_sql('z', I.RU_DERIVATIONAL)} AS de FROM ri),
+rd2 AS MATERIALIZED (SELECT w, rv,
+        CASE WHEN de <> '' AND r2 - rv <= length(z) - length(de)
+             THEN {_chop('z', 'de')} ELSE z END AS z FROM rd1),
+rs1 AS MATERIALIZED (SELECT *, {_ru_find_sql('z', I.RU_SUPERLATIVE)} AS se FROM rd2),
+rs2 AS MATERIALIZED (SELECT w, rv,
+        CASE WHEN se <> '' THEN {_chop('z', 'se')} ELSE z END AS z FROM rs1),
+rnn AS MATERIALIZED (SELECT w, rv,
+        CASE WHEN ends_with(z, 'нн') THEN {chop1} ELSE z END AS z FROM rs2),
+stemmap AS MATERIALIZED (
+  SELECT w,
+         CASE WHEN rv = 0 THEN w
+              ELSE substr(w, 1, rv) ||
+                   CASE WHEN ends_with(z, 'ь') THEN {chop1} ELSE z END
+         END AS stem
+  FROM rnn)"""
+
+
+def russian_term_query(term: str, k: int = 10,
+                       table: str = "documents") -> str:
+    """analysis/intl.russian_analyzer twin (RussianAnalyzer.cs:136-144):
+    transliterate latin->Cyrillic in SQL (digits kept — the letter
+    tokenizer accepts them), stop-filter with RUSSIAN_STOP_WORDS, stem
+    through the _russian_ctes stemmap, BM25.  `term` must already be
+    the stemmed query term, as in the engine."""
+    from ..analysis.intl import RUSSIAN_STOP_WORDS
+    stops = ",".join(f"'{w}'" for w in sorted(RUSSIAN_STOP_WORDS))
+    return f"""WITH
+{_xlit_tk(table, RU_LAT26, RU_CYR26)},
+tok_f AS (SELECT * FROM tk
+          WHERE length(term) <= 255 AND term NOT IN ({stops})),
+{_russian_ctes()},
+tokens AS (SELECT t.doc_id, m.stem AS term
+           FROM tok_f t JOIN stemmap m ON t.term = m.w),
+{_bm25_tail(table, term, k)}"""
+
+
+def greek_term_query(term: str, k: int = 10,
+                     table: str = "documents") -> str:
+    """analysis/intl.greek_analyzer twin (GreekAnalyzer.cs:63-71):
+    transliterate, apply the GreekLowerCaseFilter normalization pairs
+    reachable through the alphabet (final sigma + tonos vowels), then
+    the Greek stop set.  No StandardFilter in this chain."""
+    from ..analysis.intl import GREEK_STOP_WORDS
+    stops = ",".join(f"'{w}'" for w in sorted(GREEK_STOP_WORDS))
+    return f"""WITH
+{_xlit_tk(table, EL_LAT36, EL_GRK36)},
+norm AS (SELECT doc_id,
+                translate(term, '{_EL_NORM_FROM}', '{_EL_NORM_TO}') AS term
+         FROM tk),
+tokens AS (SELECT * FROM norm
+           WHERE length(term) <= 255 AND term NOT IN ({stops})),
+{_bm25_tail(table, term, k)}"""
+
+
+def _arabic_stem_ctes() -> str:
+    """ArabicStemmer as chained MATERIALIZED stages over the vocabulary
+    (ArabicStemmer.cs:43-66): first matching prefix strips once (waw
+    needs len >= 4, others len >= plen + 2), then EVERY suffix in table
+    order strips when len >= suflen + 2 — generated from the
+    analysis/intl tables.  Stage-per-suffix keeps the expression tree
+    linear (a single folded CASE would inline exponentially)."""
+    from ..analysis import intl as I
+
+    whens = []
+    for p in I._AR_PREFIXES:
+        need = 4 if len(p) == 1 else len(p) + 2
+        whens.append(f"WHEN length(w) >= {need} AND "
+                     f"starts_with(w, '{p}') "
+                     f"THEN substr(w, {len(p) + 1})")
+    ctes = [f"as0 AS MATERIALIZED (SELECT w, CASE {' '.join(whens)} "
+            f"ELSE w END AS s FROM aseed)"]
+    for i, suf in enumerate(I._AR_SUFFIXES, start=1):
+        ctes.append(
+            f"as{i} AS MATERIALIZED (SELECT w, "
+            f"CASE WHEN length(s) >= {len(suf) + 2} AND "
+            f"ends_with(s, '{suf}') "
+            f"THEN substr(s, 1, length(s) - {len(suf)}) "
+            f"ELSE s END AS s FROM as{i - 1})")
+    ctes.append(f"astem AS (SELECT w, s AS stem FROM as{len(I._AR_SUFFIXES)})")
+    return ",\n".join(ctes)
+
+
+def arabic_term_query(term: str, k: int = 10,
+                      table: str = "documents") -> str:
+    """analysis/intl.arabic_analyzer twin (ArabicAnalyzer.cs:119-129):
+    stop BEFORE normalization (the reference list is unnormalized),
+    then normalize (translate deletes harakat/tatweel), drop
+    fully-deleted tokens (the documented deviation), then stem via a
+    vocabulary-level map.  `term` must already be normalized+stemmed."""
+    from ..analysis.intl import ARABIC_STOP_WORDS
+    stops = ",".join(f"'{w}'" for w in sorted(ARABIC_STOP_WORDS))
+    return f"""WITH
+{_xlit_tk(table, AR_LAT36, AR_TGT36)},
+tok_f AS (SELECT * FROM tk WHERE term NOT IN ({stops})),
+anorm AS (SELECT doc_id,
+                 translate(term, '{_AR_NORM_FROM}', '{_AR_NORM_TO}') AS term
+          FROM tok_f),
+anz AS (SELECT * FROM anorm WHERE term <> ''),
+aseed AS (SELECT DISTINCT term AS w FROM anz),
+{_arabic_stem_ctes()},
+tokens AS (SELECT t.doc_id, m.stem AS term
+           FROM anz t JOIN astem m ON t.term = m.w),
+{_bm25_tail(table, term, k)}"""
+
+
+def czech_term_query(term: str, k: int = 10,
+                     table: str = "documents") -> str:
+    """analysis/intl.czech_analyzer twin (CzechAnalyzer.cs:125-132):
+    the standard chain with the Czech stop set — on the ASCII corpus
+    the Unicode ALPHANUM branch tokenizes identically to base_ctes."""
+    from ..analysis.intl import CZECH_STOP_WORDS
+    return f"""WITH {base_ctes(table, stop_words=CZECH_STOP_WORDS)}
 SELECT p.doc_id, round({_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
 WHERE p.term = '{term}'
