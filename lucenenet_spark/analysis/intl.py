@@ -52,8 +52,14 @@ import re
 # underscore excluded).  For lowercased ASCII input the two are the
 # same character set, so ASCII corpora tokenize bit-identically.
 assert STANDARD_ALTERNATION.endswith("|[a-z0-9]+")
+# The leading branch re-creates JFlex longest-match for MIXED runs: an
+# alnum run containing a non-ASCII letter (e.g. "quimio5terápicos") is
+# one ALPHANUM token even though the ASCII NUM branch could match a
+# prefix.  It requires >= 1 non-ASCII letter, so pure-ASCII text never
+# enters it and tokenizes bit-identically to the ASCII alternation.
 INTL_TOKEN_RE = re.compile(
-    STANDARD_ALTERNATION[: -len("[a-z0-9]+")] + r"[^\W_]+")
+    r"[a-z0-9]*[^\W\d_a-z][^\W_]*|"
+    + STANDARD_ALTERNATION[: -len("[a-z0-9]+")] + r"[^\W_]+")
 
 
 # ================================================================ Greek
