@@ -128,3 +128,57 @@ def auto_stop_analyzer(stop_terms: set[str]):
         return [(t, p) for t, p in tokenize_standard(text)
                 if t not in stop_terms]
     return analyze
+
+
+# ---- contrib/Core Analysis.Ext (src/contrib/Core/Analysis/Ext/
+# Analysis.Ext.cs) --------------------------------------------------
+
+def letter_or_digit_tokens(text: str | None) -> list[tuple[str, int]]:
+    """LetterOrDigitTokenizer: maximal runs of char.IsLetterOrDigit
+    (Unicode letters + digits), one position each."""
+    if text is None:
+        return []
+    return [(m.group(0), pos) for pos, m in
+            enumerate(re.finditer(r"[^\W_]+", text))]
+
+
+def unaccented_word_analyzer():
+    """UnaccentedWordAnalyzer: LetterOrDigitTokenizer -> LowerCase ->
+    ASCIIFoldingFilter — accent-insensitive whole-word terms."""
+    from .folding import fold_ascii_py
+
+    def analyze(text: str) -> list[tuple[str, int]]:
+        return [(fold_ascii_py(t.lower()), p)
+                for t, p in letter_or_digit_tokens(text)]
+    return analyze
+
+
+def single_char_token_analyzer():
+    """SingleCharTokenAnalyzer: the unaccented chain then EVERY char as
+    its own token (SingleCharTokenizer) — the contrib's contains-query
+    accelerator (each char indexed at consecutive positions, so any
+    substring is a phrase query).  The first char of each source token
+    keeps the token's position slot; subsequent chars occupy the
+    following positions, matching the increment-preserving split."""
+    from .folding import fold_ascii_py
+
+    def analyze(text: str) -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        pos = 0
+        for tok, _p in letter_or_digit_tokens(text):
+            for ch in fold_ascii_py(tok.lower()):
+                out.append((ch, pos))
+                pos += 1
+        return out
+    return analyze
+
+
+def thai_word_filter(tokens):
+    """ThaiWordFilter parity: the reference's OWN port throws
+    NotSupportedException("PORT ISSUES")
+    (src/contrib/Analyzers/Th/ThaiWordFilter.cs:46-49 — the
+    BreakIterator dictionary segmenter never made it across from Java).
+    Faithful behavior = the same refusal."""
+    raise NotImplementedError(
+        "ThaiWordFilter: unsupported in the reference itself "
+        "(ThaiWordFilter.cs throws NotSupportedException)")
