@@ -636,6 +636,49 @@ class SegmentedIndex:
             )
         return self._term_stats
 
+    def enumerate_terms(self, field: str | None = None,
+                        include_docs: bool = False,
+                        numeric: bool = False) -> DataFrame:
+        """contrib/Core FieldEnumerator analogue
+        (src/contrib/Core/Index/FieldEnumerator.cs: String/Int/...
+        enumerators over a field's term dictionary, optionally walking
+        TermDocs per term).  At Spark scale the enumerator IS a sorted
+        DataFrame, not a cursor: term-dictionary rows only (no blob
+        decode) unless include_docs pulls the posting docs, and
+        numeric= casts the term for the typed variants."""
+        t = self.term_stats()
+        if field is not None:
+            t = t.where(F.col("field") == field)
+        if include_docs:
+            p = self.postings_nopos
+            if field is not None:
+                p = p.where(F.col("field") == field)
+            t = t.join(
+                p.groupBy("field", "term")
+                .agg(F.collect_list("doc_id").alias("doc_ids")),
+                ["field", "term"], "left")
+        if numeric:
+            # try_cast: non-numeric terms yield NULL under ANSI mode
+            t = t.withColumn("term_num", F.expr("try_cast(term AS BIGINT)"))
+        return t.orderBy("field", "term")
+
+    def term_vector_enumerator(self, doc_ids=None) -> DataFrame:
+        """contrib/Core TermVectorEnumerator analogue
+        (src/contrib/Core/Index/TermVectorEnumerator.cs: per-document
+        vector walk, EmptyVector for docs without one): left join from
+        the doc store so every requested doc yields a row, docs with no
+        terms carrying an empty vec."""
+        if self.stored is not None:
+            base = self.stored.select(F.col(self.id_col).alias("doc_id"))
+        else:
+            base = self.postings_nopos.select("doc_id").distinct()
+        if doc_ids is not None:
+            base = base.where(F.col("doc_id").isin(list(doc_ids)))
+        tv = self.term_vectors()
+        joined = base.join(tv, "doc_id", "left")
+        return joined.withColumn(
+            "vec", F.coalesce(F.col("vec"), F.array()))
+
     def term_dfs(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
         """df lookup from segment-row metadata — no blob decode (the .tis
         dictionary-seek analogue, TermInfosReader.cs:243-308)."""

@@ -412,3 +412,78 @@ def test_wave_retention_policy(spark, corpus, tmp_path):
         (r["field"], r["term"], r["seg_id"], bytes(r["docs_blob"]).hex())
         for r in b.segments.collect())
     assert rows_a == rows_b
+
+
+# --------------------------------------------- contrib/Core enumerators
+
+
+@pytest.fixture(scope="module")
+def segidx(spark, corpus):
+    from lucenenet_spark.index.segments import build_segmented_index
+
+    return build_segmented_index(spark, corpus, text_col="content",
+                                 lang_col="lang", fan_in=3)
+
+
+def test_enumerate_terms_sorted_filtered_numeric(spark, segidx):
+    """FieldEnumerator semantics (contrib/Core/Index/FieldEnumerator.cs):
+    sorted term walk over one field; typed variants cast the term."""
+    rows = segidx.enumerate_terms(field="content", numeric=True).collect()
+    terms = [r["term"] for r in rows]
+    assert terms == sorted(terms) and len(terms) == len(set(terms))
+    assert all(r["field"] == "content" for r in rows)
+    for r in rows:
+        if r["term"].isdigit():
+            assert r["term_num"] == int(r["term"])
+        elif not r["term"].lstrip("+-").isdigit():
+            assert r["term_num"] is None
+    # df/ttf come straight from the dictionary, so they must agree with
+    # term_stats
+    ts = {(r["field"], r["term"]): (r["df"], r["ttf"])
+          for r in segidx.term_stats().collect()}
+    assert all(ts[("content", r["term"])] == (r["df"], r["ttf"])
+               for r in rows)
+
+
+def test_enumerate_terms_include_docs(spark, segidx):
+    """include_docs walks TermDocs per term (FieldEnumerator.cs TermDoc
+    walk): doc list length == df and matches the posting table."""
+    from pyspark.sql import functions as F
+
+    out = segidx.enumerate_terms(field="content", include_docs=True)
+    some = out.where(F.col("df") > 1).limit(5).collect()
+    assert some
+    for r in some:
+        assert len(r["doc_ids"]) == r["df"]
+        expect = sorted(
+            x["doc_id"] for x in segidx.postings_nopos
+            .where((F.col("field") == "content")
+                   & (F.col("term") == r["term"]))
+            .select("doc_id").collect())
+        assert sorted(r["doc_ids"]) == expect
+
+
+def test_term_vector_enumerator_empty_vector(spark):
+    """TermVectorEnumerator semantics
+    (contrib/Core/Index/TermVectorEnumerator.cs): every requested doc
+    yields a row; docs without a vector carry the EmptyVector analogue."""
+    from lucenenet_spark.index.segments import build_segmented_index
+    from lucenenet_spark.sources.corpus import with_doc_ids
+
+    df = spark.createDataFrame(
+        [("r", "a", "hello world hello", "en"),
+         ("r", "b", "", "en"),
+         ("r", "c", "world", "en")],
+        "repo string, path string, content string, lang string")
+    seg = build_segmented_index(spark, with_doc_ids(df),
+                                text_col="content", lang_col="lang")
+    rows = {r["doc_id"]: r for r in seg.term_vector_enumerator().collect()}
+    assert len(rows) == 3
+    by_path = {r["path"]: r["doc_id"]
+               for r in seg.stored.select("path", "doc_id").collect()}
+    assert rows[by_path["b"]]["vec"] == []  # EmptyVector, not a missing row
+    vec_a = {t["term"]: t["tf"] for t in rows[by_path["a"]]["vec"]}
+    assert vec_a == {"hello": 2, "world": 1}
+    # doc_ids filter restricts the walk
+    only = seg.term_vector_enumerator(doc_ids=[by_path["c"]]).collect()
+    assert [r["doc_id"] for r in only] == [by_path["c"]]
