@@ -903,6 +903,25 @@ def _ft_terms_filter(spark, sf_dir):
         ast.Term("spark"), terms_filter(["merge", "batch"])))(spark, sf_dir)
 
 
+def _ft_sharded_term(spark, sf_dir):
+    """contrib/DistributedSearch analogue (index/shards.py): three
+    record-id-range shards behind the federated union view
+    (IndexSets.cs:144-151 routing; DistributedSearcher -> MultiSearcher
+    federation).  Global df makes the federated answer equal the
+    monolithic index's, so the oracle is the plain term-query SQL."""
+    from lucenenet_spark.index.shards import build_sharded_index
+    hit = _ANALYZER_CACHE.get((sf_dir, "sharded"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        sh = build_sharded_index(
+            spark, _docs(spark, sf_dir), n_shards=3, text_col="text",
+            id_col="doc_id", field_name="text")
+        s = sh.searcher()
+        _ANALYZER_CACHE[(sf_dir, "sharded")] = (spark, s)
+    return s.search(ast.Term("spark"), K)
+
+
 def _ann_ivf(spark, sf_dir):
     # nlist=256: centroids ride a broadcast-joined DataFrame, never plan
     # literals, so a realistic list count costs nothing in plan size.
@@ -1112,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_greek_term": _ft_greek_term,
         "ft_arabic_term": _ft_arabic_term,
         "ft_czech_term": _ft_czech_term,
+        # contrib/DistributedSearch: range-sharded sets, federated search
+        "ft_sharded_term": _ft_sharded_term,
     }
 
 
@@ -1280,4 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_greek_term": g.greek_term_query(_el_qterm(), k=K),
         "ft_arabic_term": g.arabic_term_query(_ar_qterm(), k=K),
         "ft_czech_term": g.czech_term_query("the", k=K),
+        # federated == monolithic (MultiSearcher lemma), so the sharded
+        # entry's oracle is the plain term query
+        "ft_sharded_term": g.term_query("spark", K),
     }
