@@ -884,6 +884,7 @@ def build_segmented_index(
     fold_ascii: bool = False,
     analyzer=None,
     position_increment_gap: int = 0,
+    use_segments_gen: bool = False,
 ) -> SegmentedIndex:
     """docs -> per-partition segments -> merge wave(s).
 
@@ -944,7 +945,17 @@ def build_segmented_index(
     wave = 0
     n = docs.rdd.getNumPartitions()
     if checkpoint_dir:
-        latest = _latest_committed_wave(checkpoint_dir)
+        # use_segments_gen: trust the consistent segments.gen pointer over
+        # the directory listing (SegmentsGenCommit, contrib/Core/Index/
+        # SegmentsGenCommit.cs:37-53 — the snapshot-copied-over-checkpoint
+        # case where stale HIGHER wave dirs must lose); fall back to the
+        # listing when the pointer is missing or torn
+        latest = None
+        if use_segments_gen:
+            from .commits import segments_gen_commit
+            latest = segments_gen_commit(checkpoint_dir)
+        if latest is None:
+            latest = _latest_committed_wave(checkpoint_dir)
         if latest is None:
             seg, wave = _commit_wave(spark, seg, checkpoint_dir, 0, lineage)
         else:
@@ -1255,6 +1266,10 @@ def _commit_wave(spark: SparkSession, seg: DataFrame, ckpt: str, wave: int,
             "postings_bytes": int(row["postings_bytes"] or 0)}
     with open(marker, "w") as f:
         json.dump(info, f)
+    # maintain the segments.gen pointer (core writes it at every commit;
+    # SegmentsGenCommit-style resume reads it — index/commits.py)
+    from .commits import write_segments_gen
+    write_segments_gen(ckpt, wave)
     lineage.append(info)
     return committed, wave
 
