@@ -595,3 +595,91 @@ def russian_analyzer(stopwords: frozenset[str] = RUSSIAN_STOP_WORDS):
             out.append((russian_stem(tok), pos))
         return out
     return analyze
+
+
+# ================================================================== Thai
+
+# ThaiAnalyzer chain (src/contrib/Analyzers/Th/ThaiAnalyzer.cs:36-44):
+# StandardTokenizer -> StandardFilter -> ThaiWordFilter -> English
+# StopFilter (position increments on).  Note there is NO LowerCaseFilter
+# in the reference chain, so latin tokens keep their case and the
+# lowercase English stop set only removes already-lowercase stopwords —
+# pinned by tests/test_thai.py.
+
+#: first-char Thai test of ThaiWordFilter.cs:48 (_isThaiRegex \p{IsThai})
+THAI_CHAR_RE = re.compile(r"[฀-๿]")
+
+#: StandardTokenizer token classes, case-preserved, plus Thai runs as
+#: single raw tokens (JFlex emits a Thai run as one token; the word
+#: filter splits it afterwards)
+_THAI_TOKEN_RE = re.compile(
+    r"[฀-๿]+|" + STANDARD_ALTERNATION, re.IGNORECASE)
+
+ENGLISH_STOP_WORDS_TH = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+    .split())  # StopAnalyzer.ENGLISH_STOP_WORDS_SET (ThaiAnalyzer.cs:42)
+
+
+def dict_word_break(lexicon) -> "callable":
+    """Greedy longest-match dictionary segmentation — the walk Thai
+    BreakIterator performs under the hood (the reference delegates to
+    ``BreakIterator.getWordInstance(new Locale("th"))``,
+    ThaiWordFilter.cs:52).  Unknown spans degrade to single characters so
+    the walk always terminates and never drops text."""
+    wordset = frozenset(lexicon)
+    maxlen = max((len(w) for w in wordset), default=1)
+
+    def brk(run: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(run)
+        while i < n:
+            for ln in range(min(maxlen, n - i), 1, -1):
+                if run[i:i + ln] in wordset:
+                    out.append(run[i:i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(run[i])
+                i += 1
+        return out
+    return brk
+
+
+def thai_analyzer(word_break=None,
+                  stopwords: frozenset[str] = ENGLISH_STOP_WORDS_TH):
+    """analyzer= callable for the ThaiAnalyzer chain.
+
+    ``word_break`` maps one Thai run to its word list.  The DEFAULT
+    (None) mirrors the reference port itself, which throws
+    ``NotSupportedException("PORT ISSUES")`` the moment the filter is
+    constructed because .NET has no BreakIterator
+    (ThaiWordFilter.cs:53) — here the error is deferred to the first
+    Thai token so pure-latin text still analyzes.  Pass
+    ``dict_word_break(lexicon)`` for a working dictionary walk."""
+    def analyze(text: str) -> list[tuple[str, int]]:
+        if text is None:
+            return []
+        out: list[tuple[str, int]] = []
+        pos = 0
+        for tok in _THAI_TOKEN_RE.findall(text):
+            if THAI_CHAR_RE.match(tok[0]):  # ThaiWordFilter.cs:48
+                if word_break is None:
+                    raise NotImplementedError(
+                        "Thai word breaking needs word_break= (the "
+                        "reference port throws NotSupportedException "
+                        "'PORT ISSUES' here, ThaiWordFilter.cs:53)")
+                words = word_break(tok)
+            else:
+                # StandardFilter on the case-preserved token (the 's and
+                # acronym patterns are lowercase-anchored, like the
+                # reference filter's char checks)
+                words = [_std_transform(tok)]
+            for w in words:
+                if len(w) > MAX_TOKEN_LENGTH or w in stopwords:
+                    pos += 1  # StopFilter hole (increments enabled)
+                    continue
+                out.append((w, pos))
+                pos += 1
+        return out
+    return analyze
