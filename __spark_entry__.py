@@ -1133,6 +1133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_czech_term": _ft_czech_term,
         # contrib/DistributedSearch: range-sharded sets, federated search
         "ft_sharded_term": _ft_sharded_term,
+        # Ord/ReverseOrdFieldSource function queries (Search/Function/)
+        "ft_ord_score": _search(ast.OrdFieldScore("source")),
+        "ft_rev_ord_score": _search(ast.OrdFieldScore("source",
+                                                      reverse=True)),
     }
 
 
@@ -1304,4 +1308,6 @@ def oracle_sql() -> dict[str, str]:
         # federated == monolithic (MultiSearcher lemma), so the sharded
         # entry's oracle is the plain term query
         "ft_sharded_term": g.term_query("spark", K),
+        "ft_ord_score": g.ord_score("source", K),
+        "ft_rev_ord_score": g.ord_score("source", K, reverse=True),
     }

@@ -972,6 +972,24 @@ FROM {table}
 {_topk(k)}"""
 
 
+def ord_score(column: str, k: int = 10, reverse: bool = False,
+              boost: float = 1.0, table: str = "documents") -> str:
+    """Ord/ReverseOrdFieldSource: score = 1-based lexicographic rank of
+    the doc's field value among the DISTINCT values (missing -> ord 0;
+    reverse -> (nDistinct+1) - ord, so missing scores max — the
+    reference's own quirk, ReverseOrdFieldSource.cs:85)."""
+    expr = ("(e.endv - coalesce(ord, 0))" if reverse
+            else "coalesce(ord, 0)")
+    return f"""WITH vals AS (
+    SELECT v, row_number() OVER (ORDER BY v) AS ord
+    FROM (SELECT DISTINCT {column} AS v FROM {table}
+          WHERE {column} IS NOT NULL)
+), e AS (SELECT count(*) + 1 AS endv FROM vals)
+SELECT d.doc_id, round({boost}::DOUBLE * {expr}, 6) AS score
+FROM {table} d LEFT JOIN vals ON d.{column} = vals.v CROSS JOIN e
+{_topk(k)}"""
+
+
 def custom_score_term(term: str, value_exprs: list[str], k: int = 10,
                       boost: float = 1.0, table: str = "documents") -> str:
     """CustomScoreQuery over a TermQuery: BM25 x product of value sources

@@ -161,6 +161,18 @@ class FieldScore(Query):
 
 
 @dataclass(frozen=True)
+class OrdFieldScore(Query):
+    """Ord/ReverseOrdFieldSource as a query (src/Lucene.Net/Search/
+    Function/OrdFieldSource.cs:26-35: terms lexicographically ordered,
+    numbered from 1; ReverseOrdFieldSource.cs:85 scores ``end - ord``
+    with end = nDistinct + 1).  Docs without a value carry ord 0 — which
+    makes their REVERSE score the maximum, the reference's own quirk."""
+    column: str
+    reverse: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class CustomScore(Query):
     """CustomScoreQuery (src/Lucene.Net/Search/Function/CustomScoreQuery.cs:50):
     score = subquery score x PRODUCT of value-source scores (the default

@@ -371,6 +371,8 @@ class Searcher:
             return self._fuzzy_frame(q)
         if isinstance(q, ast.FieldScore):
             return self._field_score_frame(q)
+        if isinstance(q, ast.OrdFieldScore):
+            return self._ord_score_frame(q)
         if isinstance(q, ast.CustomScore):
             return self._custom_score_frame(q)
         if isinstance(q, ast.SPAN_NODES):
@@ -1152,6 +1154,37 @@ class Searcher:
             F.col(self.index.id_col).alias("doc_id"),
             (F.expr(q.column).cast("double") * F.lit(float(q.boost)))
             .alias("score"))
+
+    def _ord_score_frame(self, q: ast.OrdFieldScore) -> DataFrame:
+        """Ord/ReverseOrdFieldSource (Function/OrdFieldSource.cs:121:
+        FieldCache.GetStringIndex order array).  The FieldCache un-invert
+        is replaced by ranking the DISTINCT values — vocabulary-scale, not
+        corpus-scale — with the partition-rank + base-offset trick
+        (sources/corpus.with_doc_ids), so no single-reducer window ever
+        sees the full corpus; the rank table then hash-joins back to the
+        doc store.  Missing values keep ord 0, which under reverse yields
+        the MAX score (ReverseOrdFieldSource.cs:85 ``end - arr[doc]``
+        with arr[doc]=0) — reference quirk preserved."""
+        from ..sources.corpus import with_doc_ids
+        stored = self.index.stored
+        vals = (stored.select(F.col(q.column).alias("_v"))
+                .where(F.col("_v").isNotNull()).distinct())
+        ranked = (with_doc_ids(vals, ("_v",), range_partition=True)
+                  .select("_v", (F.col("doc_id") + 1).alias("_ord")))
+        joined = stored.join(ranked, stored[q.column] == ranked["_v"],
+                             "left")
+        ordc = F.coalesce(F.col("_ord"), F.lit(0)).cast("double")
+        if q.reverse:
+            # `end` = lookup.Length = nDistinct + 1, computed in-plan as a
+            # broadcast 1-row agg (no driver action)
+            end = ranked.agg((F.max("_ord") + 1).alias("_end"))
+            joined = joined.crossJoin(F.broadcast(end))
+            score = F.col("_end").cast("double") - ordc
+        else:
+            score = ordc
+        return joined.select(
+            F.col(self.index.id_col).alias("doc_id"),
+            (score * F.lit(float(q.boost))).alias("score"))
 
     def _custom_score_frame(self, q: ast.CustomScore) -> DataFrame:
         """CustomScoreQuery default combination: subQueryScore x PRODUCT of
