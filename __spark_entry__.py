@@ -922,6 +922,29 @@ def _ft_sharded_term(spark, sf_dir):
     return s.search(ast.Term("spark"), K)
 
 
+def _ft_numbertools_range(spark, sf_dir):
+    """NumberTools path (Document/NumberTools.cs): n_chars indexed as a
+    lexicographically-ordered base-36 KEYWORD term (JVM conv/lpad, no
+    UDF), then a plain TermRangeQuery answers the numeric range — the
+    reference's pre-NumericRangeQuery idiom.  Oracle re-encodes in SQL
+    and compares strings."""
+    from lucenenet_spark.functions.numbertools import (long_to_string,
+                                                       long_to_string_col)
+    hit = _ANALYZER_CACHE.get((sf_dir, "numbertools"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        docs = _docs(spark, sf_dir).withColumn(
+            "n_enc", long_to_string_col(F.col("n_chars")))
+        idx = build_segmented_index(
+            spark, docs, text_col="text", id_col="doc_id",
+            field_name="text", keyword_cols={"n_enc": "n_enc"})
+        s = Searcher(idx)
+        _ANALYZER_CACHE[(sf_dir, "numbertools")] = (spark, s)
+    return s.search(ast.TermRange(long_to_string(200), long_to_string(400),
+                                  field="n_enc"), K)
+
+
 def _ann_ivf(spark, sf_dir):
     # nlist=256: centroids ride a broadcast-joined DataFrame, never plan
     # literals, so a realistic list count costs nothing in plan size.
@@ -1137,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ord_score": _search(ast.OrdFieldScore("source")),
         "ft_rev_ord_score": _search(ast.OrdFieldScore("source",
                                                       reverse=True)),
+        # NumberTools lexicographic long terms -> numeric TermRange
+        "ft_numbertools_range": _ft_numbertools_range,
     }
 
 
@@ -1310,4 +1335,5 @@ def oracle_sql() -> dict[str, str]:
         "ft_sharded_term": g.term_query("spark", K),
         "ft_ord_score": g.ord_score("source", K),
         "ft_rev_ord_score": g.ord_score("source", K, reverse=True),
+        "ft_numbertools_range": g.numbertools_range("n_chars", 200, 400, K),
     }

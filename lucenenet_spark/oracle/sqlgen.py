@@ -990,6 +990,20 @@ FROM {table} d LEFT JOIN vals ON d.{column} = vals.v CROSS JOIN e
 {_topk(k)}"""
 
 
+def numbertools_range(column: str, lo: int, hi: int, k: int = 10,
+                      boost: float = 1.0, table: str = "documents") -> str:
+    """TermRange over NumberTools-encoded longs (Document/NumberTools.cs):
+    the ORACLE re-runs the encoding in SQL (prefix '0' + 13-digit base-36,
+    non-negative inputs) and compares STRINGS, exercising the
+    lexicographic-order contract end-to-end."""
+    from ..functions.numbertools import long_to_string
+    enc = f"concat('0', lpad(lower(to_base({column}, 36)), 13, '0'))"
+    return f"""SELECT doc_id, {boost}::DOUBLE AS score
+FROM {table}
+WHERE {enc} BETWEEN '{long_to_string(lo)}' AND '{long_to_string(hi)}'
+{_topk(k)}"""
+
+
 def custom_score_term(term: str, value_exprs: list[str], k: int = 10,
                       boost: float = 1.0, table: str = "documents") -> str:
     """CustomScoreQuery over a TermQuery: BM25 x product of value sources
