@@ -52,7 +52,11 @@ class SegmentCache(Generic[T]):
         """Compute-and-discard (SegmentCache.cs:81-84: Warm calls Get)."""
         self.get(index, key)
 
-    def get(self, index: Any, key: str) -> T:
+    def get(self, index: Any, key: str,
+            supplier: Callable[[], T] | None = None) -> T:
+        """``supplier`` (optional) overrides create_value for this call —
+        the anonymous-DocValues idiom callers use when the computation
+        closes over more than (index, key)."""
         oid = id(index)
         with self._lock:
             hit = self._cache.get(oid)
@@ -60,7 +64,8 @@ class SegmentCache(Generic[T]):
                 return hit[1][key]
         # compute outside the lock (the reference computes between its
         # read and write lock sections, SegmentCache.cs:92-150)
-        val = self.create_value(index, key)
+        val = supplier() if supplier is not None else \
+            self.create_value(index, key)
         with self._lock:
             hit = self._cache.get(oid)
             if hit is None or hit[0]() is not index:

@@ -41,7 +41,12 @@ from pyspark.sql import types as T
 from ..functions import bm25
 from ..functions.similarity import BM25Similarity
 from ..index.builder import InvertedIndex
+from ..index.cache import SegmentCache
 from . import ast
+
+#: CachingSpanFilter backing store (CachingSpanFilter.cs `cache` keyed by
+#: reader) — one process-wide SegmentCache, weak per index generation
+_SPAN_FILTER_CACHE: SegmentCache = SegmentCache()
 
 
 def _idf(df: int, n: int) -> float:
@@ -114,6 +119,28 @@ class Searcher:
             out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
+
+    def span_filter_result(self, q: ast.Query) -> DataFrame:
+        """SpanQueryFilter.BitSpans (src/Lucene.Net/Search/
+        SpanQueryFilter.cs:61-87): the DocIdSet PLUS per-doc match
+        positions — one row per matching doc, ``positions`` =
+        sorted [(start, end)] (SpanFilterResult.PositionInfo,
+        SpanFilterResult.cs:59-94).  Costs the position decode above a
+        QueryWrapperFilter, exactly the trade the reference documents;
+        deletes are applied like every filter path."""
+        spans = self._live(self._spans(ast.rewrite(q)))
+        return (spans.groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col("s").alias("start"), F.col("e").alias("end"))))
+                    .alias("positions")))
+
+    def cached_span_filter_result(self, q: ast.Query) -> DataFrame:
+        """CachingSpanFilter (src/Lucene.Net/Search/
+        CachingSpanFilter.cs): the same result memoized per (index
+        generation, query) in a contrib/Core SegmentCache — the weak
+        outer key retires entries with their index generation."""
+        return _SPAN_FILTER_CACHE.get(self.index, repr(ast.rewrite(q)),
+                                      lambda: self.span_filter_result(q))
 
     def search_with_timeout(self, q: ast.Query, k: int = 10,
                             timeout_sec: float = 30.0) -> list:
