@@ -922,6 +922,30 @@ def _ft_sharded_term(spark, sf_dir):
     return s.search(ast.Term("spark"), K)
 
 
+def _ft_parallel_fields(spark, sf_dir):
+    """ParallelReader (Index/ParallelReader.cs): the text field and the
+    source keyword field indexed as two SEPARATE indexes over the same
+    docs, composed vertically — must answer exactly like the combined
+    build, so the oracle is ft_multifield's SQL."""
+    from lucenenet_spark.index.segments import parallel_reader
+    hit = _ANALYZER_CACHE.get((sf_dir, "parallel"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        docs = _docs(spark, sf_dir)
+        text_part = build_segmented_index(
+            spark, docs, text_col="text", id_col="doc_id",
+            field_name="text")
+        kw_part = build_segmented_index(
+            spark, docs, text_col="source", id_col="doc_id",
+            field_name="source", analyzer=lambda t: [(t, 0)])
+        s = Searcher(parallel_reader(text_part, kw_part,
+                                     ignore_stored=(1,)))
+        _ANALYZER_CACHE[(sf_dir, "parallel")] = (spark, s)
+    return s.search(ast.Bool(should=(ast.Term("spark"),
+                                     ast.Term("src0", field="source"))), K)
+
+
 def _ft_numbertools_range(spark, sf_dir):
     """NumberTools path (Document/NumberTools.cs): n_chars indexed as a
     lexicographically-ordered base-36 KEYWORD term (JVM conv/lpad, no
@@ -1162,6 +1186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                                       reverse=True)),
         # NumberTools lexicographic long terms -> numeric TermRange
         "ft_numbertools_range": _ft_numbertools_range,
+        # ParallelReader: vertical field composition == combined build
+        "ft_parallel_fields": _ft_parallel_fields,
     }
 
 
@@ -1336,4 +1362,6 @@ def oracle_sql() -> dict[str, str]:
         "ft_ord_score": g.ord_score("source", K),
         "ft_rev_ord_score": g.ord_score("source", K, reverse=True),
         "ft_numbertools_range": g.numbertools_range("n_chars", 200, 400, K),
+        # vertical composition == combined build (ParallelReader lemma)
+        "ft_parallel_fields": g.multifield("spark", "source", "src0", K),
     }

@@ -1144,6 +1144,61 @@ def add_indexes(base: SegmentedIndex, *others: SegmentedIndex) -> SegmentedIndex
                    _postings_pay=None, _term_stats=None)
 
 
+def parallel_reader(*parts: SegmentedIndex,
+                    ignore_stored: tuple[int, ...] = ()) -> SegmentedIndex:
+    """ParallelReader analogue (src/Lucene.Net/Index/ParallelReader.cs:
+    78-118): VERTICAL composition — every part indexes the SAME documents
+    but DIFFERENT fields (column-family split), vs add_indexes'
+    horizontal doc-range union.  The reference's Add() checks are
+    mirrored (ParallelReader.cs:107-112: same maxDoc/numDocs across
+    readers); field sets must be disjoint (the reference's
+    fieldToReader map is first-wins on collision — here an error,
+    stricter but safer).  ``ignore_stored`` lists part positions whose
+    stored fields are skipped (the ignoreStoredFields flag,
+    ParallelReader.cs:96).
+
+    Spark-first: segment rows union lazily with stride-rebased seg_ids
+    (rows are keyed (field, term), and fields are disjoint, so no part
+    ever collides with another); the stored view left-joins each part's
+    NEW columns on the id column; stats stay the FIRST part's — its
+    text field defines length normalization, exactly like a combined
+    single build computes avgdl over the primary field only."""
+    base = parts[0]
+    fields = list(base.fields)
+    seg = base.segments
+    stored = base.stored
+    tomb = base.tombstones
+    for i, o in enumerate(parts[1:], start=1):
+        if o.stats.n_docs != base.stats.n_docs:
+            raise ValueError(
+                f"all parts must have the same doc count: "
+                f"{o.stats.n_docs} != {base.stats.n_docs}")
+        if o.id_col != base.id_col:
+            raise ValueError(f"id_col mismatch: {o.id_col} != {base.id_col}")
+        overlap = set(o.fields) & set(fields)
+        if overlap:
+            raise ValueError(f"overlapping fields: {sorted(overlap)}")
+        fields.extend(o.fields)
+        seg = seg.unionByName(o.segments.withColumn(
+            "seg_id", F.col("seg_id") + F.lit(i * (1 << 32))))
+        if o.tombstones is not None:
+            tomb = (o.tombstones if tomb is None
+                    else tomb.unionByName(o.tombstones).distinct())
+        if (stored is not None and o.stored is not None
+                and i not in ignore_stored):
+            extra = [c for c in o.stored.columns
+                     if c not in stored.columns]
+            if extra:
+                stored = stored.join(
+                    o.stored.select(base.id_col, *extra), base.id_col,
+                    "left")
+    from dataclasses import replace
+    return replace(base, segments=seg, stored=stored, tombstones=tomb,
+                   fields=tuple(fields),
+                   _del_frames=None, _postings=None, _postings_nopos=None,
+                   _postings_pay=None, _term_stats=None)
+
+
 def expunge_deletes(index: SegmentedIndex) -> SegmentedIndex:
     """ExpungeDeletes analogue (IndexWriter.ExpungeDeletes; the delete
     squeeze-out SegmentMerger does via docMap, src/Lucene.Net/Index/
