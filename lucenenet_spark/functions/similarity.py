@@ -12,9 +12,10 @@ Two strategies, same Weight/Scorer lifecycle:
   weight = idf^2 (queryWeight * value assembly, Search/TermQuery.cs:85-95).
   Documented deviations: queryNorm (1/sqrt(sum w^2), :59) is omitted — it
   is constant per query, so ranking is unchanged; the norm byte
-  quantization (SmallFloat 3.15, Similarity.cs:502-504) is skipped — we
-  keep exact doc lengths, the lossless refinement of the same norm;
-  coord is omitted as in the BM25 path.
+  quantization (SmallFloat 3.15, Similarity.cs:502-504) defaults OFF —
+  exact doc lengths, the lossless refinement of the same norm — and is
+  available bit-for-bit via ClassicSimilarity(quantize_norms=True)
+  (functions/smallfloat.py); coord is omitted as in the BM25 path.
 
 A Similarity provides two column-expression kernels:
   term_score(tf, dl, df, n, avgdl, boost)   -- per (term, doc) posting row
@@ -28,6 +29,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -58,7 +60,31 @@ class BM25Similarity:
 
 class ClassicSimilarity:
     """Reference TF-IDF (DefaultSimilarity.cs), per-term score
-    idf^2 * sqrt(tf) * 1/sqrt(dl) * boost."""
+    idf^2 * sqrt(tf) * 1/sqrt(dl) * boost.
+
+    quantize_norms=True enables the reference's LOSSY norm bytes
+    (EncodeNorm/DecodeNorm through SmallFloat 3.15,
+    Similarity.cs:402-417,502-504 — functions/smallfloat.py): the
+    1/sqrt(dl) factor round-trips through the 256-entry byte table
+    exactly like a stored .nrm file, so scores match the reference
+    bit-for-bit where the default keeps exact doc lengths (the lossless
+    refinement, and the engine default)."""
+
+    def __init__(self, quantize_norms: bool = False):
+        self.quantize_norms = quantize_norms
+
+    def _norm(self, dl_col: Column) -> Column:
+        if not self.quantize_norms:
+            return F.lit(1.0) / F.sqrt(dl_col.cast("double"))
+
+        # Arrow-batched kernel — only in the opt-in parity mode
+        @F.pandas_udf("double")
+        def qnorm(dl: pd.Series) -> pd.Series:
+            from .smallfloat import quantize_norm_np
+            return pd.Series(
+                quantize_norm_np(dl.to_numpy()).astype("float64"))
+
+        return qnorm(dl_col)
 
     def idf(self, df: int, n: int) -> float:
         return math.log(n / (df + 1.0)) + 1.0
@@ -73,7 +99,7 @@ class ClassicSimilarity:
         d = df_col.cast("double")
         idf = F.log(F.lit(float(n)) / (d + F.lit(1.0))) + F.lit(1.0)
         s = (idf * idf * F.sqrt(tf_col.cast("double"))
-             / F.sqrt(dl_col.cast("double")))
+             * self._norm(dl_col))
         if isinstance(boost, Column):
             return s * boost
         return s * F.lit(float(boost)) if boost != 1.0 else s
@@ -86,7 +112,7 @@ class ClassicSimilarity:
         i = idf_sum if isinstance(idf_sum, Column) else F.lit(float(idf_sum))
         return (F.lit(float(boost)) * i * i
                 * F.sqrt(freq_col.cast("double"))
-                / F.sqrt(dl_col.cast("double")))
+                * self._norm(dl_col))
 
 
 DEFAULT_SIMILARITY = BM25Similarity()
