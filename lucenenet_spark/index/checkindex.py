@@ -159,3 +159,52 @@ def check_index(index, source: DataFrame | None = None,
         if not report["sha_rollup_match"]:
             report["clean"] = False
     return report
+
+
+def check_sharded(sharded, per_shard: bool = True) -> dict:
+    """CheckIndex over a ShardedIndex (index/shards.py) — the config +
+    routing validation the reference's DistributedSearch leaves to its
+    XML configuration handlers (IndexSetConfigurationHandler /
+    LuceneServerIndexConfigurationHandler), done as data invariants:
+
+      S1  ranges are ascending, non-overlapping, gap-free (a gap
+          silently swallows routed deletes — GetIndexSet returns no set,
+          IndexSets.cs:144-151)
+      S2  every shard's stored ids lie INSIDE its range (routing
+          integrity: a stray id would make shard_for and the data
+          disagree)
+      S3  doc ids are globally unique across shards (the disjointness
+          add_indexes/union_view assumes)
+      S4  (per_shard=True) every shard passes the full check_index()
+          posting-level pass
+    """
+    issues: list[str] = []
+    prev_hi = -1
+    for i, (lo, hi) in enumerate(sharded.bounds):
+        if lo != prev_hi + 1:
+            issues.append(f"S1:shard{i}_range_not_contiguous"
+                          f"({prev_hi + 1}!={lo})")
+        if hi < lo:
+            issues.append(f"S1:shard{i}_empty_range({lo}>{hi})")
+        prev_hi = hi
+
+    ids = None
+    for i, ((lo, hi), s) in enumerate(zip(sharded.bounds, sharded.shards)):
+        if s.stored is None:
+            continue
+        idc = F.col(s.id_col)
+        bad = s.stored.where(~idc.between(lo, hi)).count()
+        if bad:
+            issues.append(f"S2:shard{i}_{bad}_docs_outside_range")
+        f = s.stored.select(idc.alias("doc_id"))
+        ids = f if ids is None else ids.unionByName(f)
+    if ids is not None:
+        dups = (ids.groupBy("doc_id").count()
+                .where(F.col("count") > 1).count())
+        if dups:
+            issues.append(f"S3:{dups}_duplicate_doc_ids_across_shards")
+
+    shard_reports = ([check_index(s) for s in sharded.shards]
+                     if per_shard else [])
+    clean = not issues and all(r["clean"] for r in shard_reports)
+    return {"clean": clean, "issues": issues, "shards": shard_reports}

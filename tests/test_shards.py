@@ -130,3 +130,32 @@ def test_update_documents_parity(spark, corpus, mono, sharded):
                  .select("doc_id").collect()]
     assert len(fresh_ids) == 3
     assert all(sh2.shard_for(i) == len(sh2.shards) - 1 for i in fresh_ids)
+
+
+def test_check_sharded_clean_and_corrupt(spark, sharded):
+    """CheckIndex-grade validation of the shard config + routing
+    (checkindex.check_sharded): the real index is clean; doctored
+    bounds trip S1/S2; a duplicated shard trips S3."""
+    from dataclasses import replace
+
+    from lucenenet_spark.index.checkindex import check_sharded
+
+    rep = check_sharded(sharded)
+    assert rep["clean"], rep["issues"]
+    assert all(r["clean"] for r in rep["shards"])
+
+    # gap between ranges (S1) + docs now outside their range (S2)
+    b = list(sharded.bounds)
+    lo1, hi1 = b[1]
+    b[1] = (lo1 + 5, hi1)
+    broken = replace(sharded, bounds=b)
+    bad = check_sharded(broken, per_shard=False)
+    assert not bad["clean"]
+    kinds = {i.split(":")[0] for i in bad["issues"]}
+    assert kinds == {"S1", "S2"}
+
+    # same shard twice -> duplicate ids (S3), ranges overlap (S1)
+    dup = replace(sharded, shards=[sharded.shards[0], sharded.shards[0]],
+                  bounds=[sharded.bounds[0], sharded.bounds[0]])
+    bad2 = check_sharded(dup, per_shard=False)
+    assert any(i.startswith("S3:") for i in bad2["issues"])
