@@ -120,6 +120,53 @@ class ShardedIndex:
                                     text_col, **kwargs))
         return replace(self, shards=out, _union=None)
 
+    def expunge_deletes(self) -> "ShardedIndex":
+        """Routed ExpungeDeletes: ONLY shards carrying tombstones are
+        rewritten (the per-set maintenance isolation that justifies range
+        sharding — an expunge of one id range never touches the others'
+        segment bytes); clean shards pass through as the same objects."""
+        from .segments import expunge_deletes as _expunge
+        out = [(_expunge(s) if s.tombstones is not None else s)
+               for s in self.shards]
+        return replace(self, shards=out, _union=None)
+
+    # -------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """One directory per set plus a manifest with the range config —
+        the durable form of the reference's IndexSets XML (bounds become
+        data, not hand-written config).  Like SegmentedIndex.save, the
+        doc store stays external and tombstones are not persisted:
+        expunge before saving a snapshot."""
+        import json
+        import os
+        for i, s in enumerate(self.shards):
+            s.save(os.path.join(path, f"shard_{i:03d}"))
+        tmp = os.path.join(path, "shards.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"bounds": [list(b) for b in self.bounds],
+                       "id_col": self.id_col}, f)
+        os.replace(tmp, os.path.join(path, "shards.json"))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str,
+             stored: DataFrame | None = None) -> "ShardedIndex":
+        """Reopen from save(); ``stored`` (the full doc store) is
+        re-sliced per shard by the manifest ranges."""
+        import json
+        import os
+        with open(os.path.join(path, "shards.json")) as f:
+            meta = json.load(f)
+        bounds = [tuple(b) for b in meta["bounds"]]
+        shards = []
+        for i, (lo, hi) in enumerate(bounds):
+            part = (stored.where(F.col(meta["id_col"]).between(lo, hi))
+                    if stored is not None else None)
+            shards.append(SegmentedIndex.load(
+                spark, os.path.join(path, f"shard_{i:03d}"), stored=part))
+        return cls(spark=spark, shards=shards, bounds=bounds,
+                   id_col=meta["id_col"])
+
     # ------------------------------------------------------------- search
 
     def union_view(self) -> SegmentedIndex:

@@ -159,3 +159,27 @@ def test_check_sharded_clean_and_corrupt(spark, sharded):
                   bounds=[sharded.bounds[0], sharded.bounds[0]])
     bad2 = check_sharded(dup, per_shard=False)
     assert any(i.startswith("S3:") for i in bad2["issues"])
+
+
+def test_expunge_routed_isolation(spark, sharded):
+    """ExpungeDeletes rewrites ONLY the tombstoned shard; the others pass
+    through as the same objects, and the purged docs stay gone."""
+    lo0, _ = sharded.bounds[0]
+    sh2 = sharded.delete_documents([lo0, lo0 + 1]).expunge_deletes()
+    assert sh2.shards[1] is sharded.shards[1]
+    assert sh2.shards[2] is sharded.shards[2]
+    assert all(s.tombstones is None for s in sh2.shards)
+    live = {r["doc_id"] for r in
+            sh2.union_view().stored.select("doc_id").collect()}
+    assert lo0 not in live and (lo0 + 1) not in live
+
+
+def test_save_load_roundtrip(spark, corpus, sharded, tmp_path):
+    from lucenenet_spark.index.shards import ShardedIndex
+
+    p = str(tmp_path / "sharded_idx")
+    sharded.save(p)
+    back = ShardedIndex.load(spark, p, stored=corpus)
+    assert back.bounds == sharded.bounds
+    for q in QUERIES[:3]:
+        assert _hits(back.searcher(), q) == _hits(sharded.searcher(), q), q
