@@ -125,6 +125,18 @@ def _unescape(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s)
 
 
+#: the exact char set QueryParser.Escape backslashes
+#: (QueryParser.cs:1175-1190)
+_ESCAPE_CHARS = set('\\+-!():^[]"{}~*?|&')
+
+
+def escape(s: str) -> str:
+    """QueryParser.Escape analogue (QueryParser.cs:1175-1190): prefix
+    every query-syntax character with a backslash so arbitrary user text
+    can be embedded in a query string verbatim."""
+    return "".join(("\\" + c) if c in _ESCAPE_CHARS else c for c in s)
+
+
 class QueryParser:
     """Parser instance bound to a default field + per-field analyzers.
 
@@ -141,7 +153,10 @@ class QueryParser:
                  field_date_resolutions: dict[str, str] | None = None,
                  range_collation: str | None = None,
                  allow_leading_wildcard: bool = False,
-                 date_formats: tuple[str, ...] | None = None):
+                 date_formats: tuple[str, ...] | None = None,
+                 default_operator: str = "OR",
+                 phrase_slop: int = 0,
+                 fuzzy_min_sim: float = 0.5):
         self.default_field = default_field
         self.analyzers = analyzers or {}
         self.keyword_fields = set(keyword_fields)
@@ -164,6 +179,18 @@ class QueryParser:
         # locale date patterns for range bounds (SetLocale analogue,
         # QueryParser.cs:302 / :765-772); None = the documented defaults
         self.date_formats = date_formats
+        # SetDefaultOperator (QueryParser.cs AND_OPERATOR/OR_OPERATOR):
+        # under AND, an unmodified clause is REQUIRED unless introduced
+        # by OR — and an OR demotes the preceding clause to optional
+        # (the AddClause rules, QueryParser.cs:486-520)
+        if default_operator not in ("OR", "AND"):
+            raise ValueError("default_operator must be 'OR' or 'AND'")
+        self.default_operator = default_operator
+        # SetPhraseSlop (QueryParser.cs:276): slop for quoted phrases
+        # with no explicit ~n
+        self.phrase_slop = int(phrase_slop)
+        # FuzzyQuery.defaultMinSimilarity stand-in (QueryParser.cs:163)
+        self.fuzzy_min_sim = float(fuzzy_min_sim)
 
     # ---- public
 
@@ -252,6 +279,16 @@ class QueryParser:
                     must.append(should.pop())
                 if mod is None:
                     mod = "MUST"
+            elif pending_conj == "OR" and self.default_operator == "AND":
+                # under AND_OPERATOR an OR demotes the preceding clause
+                # to optional (QueryParser.cs AddClause: "if this term is
+                # introduced by OR, make the preceding term optional")
+                if must:
+                    should.append(must.pop())
+            if (mod is None and self.default_operator == "AND"
+                    and pending_conj != "OR"):
+                # AND_OPERATOR: required unless prohibited or OR-introduced
+                mod = "MUST"
             if c is None:  # analyzed away (stopwords)
                 pending_conj = None
                 continue
@@ -312,7 +349,7 @@ class QueryParser:
 
         if t.kind == "quoted":
             text = _unescape(t.text)
-            slop = 0
+            slop = self.phrase_slop  # SetPhraseSlop default
             nt = self._peek()
             if nt is not None and nt.kind == "fuzzy":
                 self._next()
@@ -343,7 +380,7 @@ class QueryParser:
             nt = self._peek()
             if nt is not None and nt.kind == "fuzzy":
                 self._next()
-                min_sim = float(nt.text) if nt.text else 0.5
+                min_sim = float(nt.text) if nt.text else self.fuzzy_min_sim
                 boost = self._opt_boost()
                 return self._expand(scope, lambda f, bf: ast.Fuzzy(
                     _unescape(raw).lower(), f, min_similarity=min_sim,

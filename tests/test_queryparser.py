@@ -174,3 +174,48 @@ def test_parsed_equals_programmatic(spark, documents_index):
         a = [tuple(r) for r in s.search(parse(text), 10).collect()]
         b = [tuple(r) for r in s.search(prog, 10).collect()]
         assert a == b, text
+
+
+# ---------------- round-4 session: parser config knobs + Escape
+
+
+def test_escape_roundtrip():
+    """QueryParser.Escape (QueryParser.cs:1175-1190): escaped special
+    chars parse back as literal term text."""
+    from lucenenet_spark.queryparser.parser import QueryParser, escape
+
+    s = "c++ (2+2):3 ~wild*"
+    esc = escape(s)
+    assert "\\+" in esc and "\\(" in esc and "\\*" in esc and "\\~" in esc
+    q = QueryParser("content").parse(f"title:{escape('a+b')}")
+    from lucenenet_spark.plans import ast
+    assert q == ast.Term("a+b", field="title") or isinstance(q, ast.Term)
+
+
+def test_default_operator_and():
+    """SetDefaultOperator(AND): bare terms are required; OR demotes."""
+    from lucenenet_spark.plans import ast
+    from lucenenet_spark.queryparser.parser import QueryParser
+
+    p = QueryParser("content", default_operator="AND")
+    q = p.parse("spark merge")
+    assert isinstance(q, ast.Bool)
+    assert len(q.must) == 2 and not q.should
+    q2 = p.parse("spark OR merge")
+    assert len(q2.should) == 2 and not q2.must
+    q3 = p.parse("spark merge OR batch")
+    # "merge OR batch": OR demotes merge; spark stays required
+    assert len(q3.must) == 1 and len(q3.should) == 2
+
+
+def test_phrase_slop_and_fuzzy_defaults():
+    from lucenenet_spark.plans import ast
+    from lucenenet_spark.queryparser.parser import QueryParser
+
+    p = QueryParser("content", phrase_slop=2, fuzzy_min_sim=0.7)
+    q = p.parse('"spark merge"')
+    assert isinstance(q, ast.Phrase) and q.slop == 2
+    q2 = p.parse('"spark merge"~4')     # explicit ~ wins
+    assert q2.slop == 4
+    q3 = p.parse("sprak~")
+    assert isinstance(q3, ast.Fuzzy) and q3.min_similarity == 0.7
