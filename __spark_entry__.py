@@ -969,6 +969,26 @@ def _ft_numbertools_range(spark, sf_dir):
                                   field="n_enc"), K)
 
 
+def _txt_sample(spark, sf_dir):
+    """Deterministic md5-bucket stratified sample (operators/sampling):
+    re-runs and the DuckDB oracle select the SAME rows — the property
+    RNG-based sampleBy can't give a 100 TB pipeline."""
+    from lucenenet_spark.operators.sampling import stratified_sample
+    return stratified_sample(
+        _docs(spark, sf_dir), "source",
+        {"src0": 0.5, "src1": 0.25}).select("doc_id", "source")
+
+
+def _txt_contam(spark, sf_dir):
+    """Eval-set n-gram contamination: training docs (source != src0)
+    sharing an 8-gram with the src0 eval slice, hit count + ratio."""
+    from lucenenet_spark.operators.sampling import eval_contamination
+    docs = _docs(spark, sf_dir)
+    return eval_contamination(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"), n=8)
+
+
 def _ann_ivf(spark, sf_dir):
     # nlist=256: centroids ride a broadcast-joined DataFrame, never plan
     # literals, so a realistic list count costs nothing in plan size.
@@ -1188,6 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_numbertools_range": _ft_numbertools_range,
         # ParallelReader: vertical field composition == combined build
         "ft_parallel_fields": _ft_parallel_fields,
+        # pipeline ops: deterministic stratified sample + eval-set
+        # n-gram contamination (operators/sampling.py)
+        "txt_sample": _txt_sample,
+        "txt_contam": _txt_contam,
     }
 
 
@@ -1364,4 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_numbertools_range": g.numbertools_range("n_chars", 200, 400, K),
         # vertical composition == combined build (ParallelReader lemma)
         "ft_parallel_fields": g.multifield("spark", "source", "src0", K),
+        "txt_sample": g.stratified_sample("source",
+                                          {"src0": 0.5, "src1": 0.25}),
+        "txt_contam": g.eval_contamination(n=8),
     }

@@ -1132,6 +1132,50 @@ def exact_dups(table: str = "documents", text_col: str = "text",
 FROM {table} GROUP BY sha256({key}) HAVING count(*) > 1"""
 
 
+def stratified_sample(strata_col: str, fractions: dict[str, float],
+                      salt: str = "sample",
+                      table: str = "documents") -> str:
+    """Deterministic md5-bucket stratified sample — bit-identical to
+    operators/sampling.stratified_sample (floor() pins the double->long
+    edge: Spark CAST truncates, DuckDB CAST rounds)."""
+    case = " ".join(f"WHEN '{k}' THEN {float(v)!r}"
+                    for k, v in sorted(fractions.items()))
+    return f"""SELECT doc_id, {strata_col}
+FROM (
+  SELECT doc_id, {strata_col},
+         ('0x'||substr(md5('{salt}:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+           AS bucket,
+         CASE {strata_col} {case} END AS frac
+  FROM {table})
+WHERE frac IS NOT NULL
+  AND bucket < CAST(floor(frac * {16 ** 15}) AS BIGINT)"""
+
+
+def eval_contamination(n: int = 8, strata_col: str = "source",
+                       eval_value: str = "src0",
+                       table: str = "documents") -> str:
+    """Eval-set n-gram contamination (operators/sampling.
+    eval_contamination): train = rows outside the eval stratum, eval
+    shingles deduped, per-doc hit count + ratio."""
+    parts = "||' '||".join(f"toks[i+{j}]" for j in range(n))
+    sh = (f"""SELECT doc_id, unnest(shs) AS shingle, len(shs) AS n_sh FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(toks)-{n - 1}),
+                                        i -> {parts})) AS shs
+    FROM base WHERE {{pred}} AND len(toks) >= {n})""")
+    return f"""WITH base AS (
+  SELECT doc_id, {strata_col},
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM {table}),
+tr AS ({sh.format(pred=f"{strata_col} <> '{eval_value}'")}),
+ev AS (SELECT DISTINCT shingle FROM (
+  {sh.format(pred=f"{strata_col} = '{eval_value}'")}))
+SELECT doc_id, count(*) AS n_hits, any_value(n_sh) AS n_shingles,
+       round(count(*)::DOUBLE / any_value(n_sh), 6) AS contamination
+FROM tr JOIN ev USING (shingle)
+GROUP BY doc_id"""
+
+
 def ngram_jaccard_pairs(n: int = 3, threshold: float = 0.5,
                         table: str = "documents",
                         max_shingle_df: int | None = None) -> str:
