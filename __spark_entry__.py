@@ -663,6 +663,16 @@ def _ann_cosine(spark, sf_dir):
     return ann.cosine_topk(emb, [float(x) for x in qv], k=K, exclude_id=0)
 
 
+def _ann_sq8(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (operators/ann.sq8_*): per-dimension
+    uint8 codes (32x compression at rest), full-precision query scored
+    against the reconstructed vectors (asymmetric distance).  The oracle
+    re-derives codebook, codes, and reconstruction in SQL."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann.sq8_topk(emb, [float(x) for x in qv], k=K, exclude_id=0)
+
+
 def _dd_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-dup through the RP-LSH BUCKETED path (the
     100 TB plan — candidates from deterministic hyperplane buckets, never
@@ -1212,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n-gram contamination (operators/sampling.py)
         "txt_sample": _txt_sample,
         "txt_contam": _txt_contam,
+        # SQ8 scalar-quantized ANN (asymmetric distance, 32x compression)
+        "ann_sq8_topk": _ann_sq8,
     }
 
 
@@ -1391,4 +1403,5 @@ def oracle_sql() -> dict[str, str]:
         "txt_sample": g.stratified_sample("source",
                                           {"src0": 0.5, "src1": 0.25}),
         "txt_contam": g.eval_contamination(n=8),
+        "ann_sq8_topk": g.sq8_topk(0, K),
     }

@@ -1313,6 +1313,34 @@ WHERE vec_id <> {query_id}
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
+def sq8_topk(query_id: int = 0, k: int = 10, dim: int = 64,
+             table: str = "embeddings") -> str:
+    """Scalar-quantized (SQ8) cosine top-k — the ORACLE re-derives the
+    per-dimension min/max codebook, the floor(+0.5) uint8 codes, and the
+    asymmetric reconstruction exactly as operators/ann.sq8_topk."""
+    return f"""WITH dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+vals AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM {table} CROSS JOIN dims),
+stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM vals GROUP BY i),
+codes AS (
+  SELECT vec_id, v.i,
+         CASE WHEN mx = mn THEN 0
+              ELSE floor((x - mn)/(mx - mn) * 255.0 + 0.5) END AS c,
+         mn, mx
+  FROM vals v JOIN stats s ON v.i = s.i),
+recon AS (SELECT vec_id, i, mn + c * (mx - mn) / 255.0 AS xr FROM codes),
+q AS (SELECT i, embedding[i]::DOUBLE AS y
+      FROM {table} CROSS JOIN dims WHERE vec_id = {query_id}),
+d AS (
+  SELECT vec_id, sum(xr*y) AS dot, sqrt(sum(xr*xr)) AS nx,
+         sqrt(sum(y*y)) AS ny
+  FROM recon r JOIN q ON r.i = q.i GROUP BY vec_id)
+SELECT vec_id, round(dot/(nx*ny), 6) AS cosine FROM d
+WHERE vec_id <> {query_id}
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
 def cosine_pairs(threshold: float = 0.99, table: str = "embeddings") -> str:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= t)."""
     return f"""WITH pairs AS (

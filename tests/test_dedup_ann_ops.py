@@ -88,3 +88,34 @@ def test_bucketed_moderate_threshold_subset(spark, emb):
                 for r in ann.cosine_pairs_bucketed(
                     emb, threshold=0.3, tables=8, planes=4).collect()}
     assert bucketed <= exact  # candidates only prune, never invent
+
+
+def test_sq8_codes_and_recall(spark):
+    """SQ8: codes bounded to [0,255], flat dims encode to 0, and the
+    quantized top-k stays close to exact (64-dim, 8-bit -> near-perfect
+    recall on well-spread vectors)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.operators import ann
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 8)).astype("float32")
+    vecs[:, 3] = 0.5  # a flat dimension
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    mins, maxs = ann.sq8_params(emb)
+    assert mins[3] == maxs[3] == pytest.approx(0.5)
+    codes = ann.sq8_encode(emb, mins, maxs).collect()
+    for r in codes:
+        assert all(0 <= c <= 255 for c in r["codes"])
+        assert r["codes"][3] == 0  # flat dim
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in
+             ann.cosine_topk(emb, q, k=10, exclude_id=0).collect()]
+    sq8 = [r["vec_id"] for r in
+           ann.sq8_topk(emb, q, k=10, params=(mins, maxs),
+                        exclude_id=0).collect()]
+    overlap = len(set(exact) & set(sq8))
+    assert overlap >= 8  # 8-bit quantization barely moves the ranking
