@@ -59,13 +59,21 @@ def word_grams(word: str) -> list[str]:
 
 def suggest_similar(vocab: DataFrame, word: str, num_sug: int = 5,
                     min_score: float = 0.5,
-                    term_col: str = "term", df_col: str = "df") -> DataFrame:
+                    term_col: str = "term", df_col: str = "df",
+                    more_popular: bool = False) -> DataFrame:
     """SuggestSimilar over an index vocabulary frame (term, df).
 
     Returns (term, score, df): score = 1 - levenshtein/max(len) rounded
     to 6 decimals (rounded BEFORE the accuracy cut and the ordering so
     the DuckDB oracle agrees bit-for-bit).
-    """
+
+    more_popular mirrors the reference's popularity mode
+    (SpellChecker.cs:206-285): the searched word's own df is the goal
+    frequency — suggestions must beat it (``goalFreq > sugWord.freq`` is
+    skipped, :285).  Without it, a word already present in the index
+    yields NO suggestions at all (the early return at :217) — correctly
+    spelled words aren't "corrected".  The goal-frequency lookup is one
+    vocabulary-row action, metadata-scale."""
     grams = word_grams(word)
     term = F.col(term_col)
     shares_gram = None
@@ -77,10 +85,17 @@ def suggest_similar(vocab: DataFrame, word: str, num_sug: int = 5,
         / F.greatest(F.length(term), F.lit(len(word))).cast("double"),
         6,
     )
-    return (vocab
-            .where(shares_gram & (term != word))
-            .select(term.alias("term"), score.alias("score"),
-                    F.col(df_col).cast("long").alias("df"))
-            .where(F.col("score") >= min_score)
-            .orderBy(F.desc("score"), F.desc("df"), "term")
+    out = (vocab
+           .where(shares_gram & (term != word))
+           .select(term.alias("term"), score.alias("score"),
+                   F.col(df_col).cast("long").alias("df"))
+           .where(F.col("score") >= min_score))
+    goal_row = (vocab.where(term == word)
+                .agg(F.max(F.col(df_col))).collect()[0][0])
+    goal = int(goal_row or 0)
+    if not more_popular and goal > 0:
+        return out.limit(0)  # word exists -> no suggestions (cs:217)
+    if more_popular:
+        out = out.where(F.col("df") > goal)
+    return (out.orderBy(F.desc("score"), F.desc("df"), "term")
             .limit(num_sug))

@@ -114,12 +114,24 @@ def test_suggest_matches_bruteforce(spark):
 
 def test_suggest_excludes_word_itself_and_low_scores(spark):
     vdf = spark.createDataFrame(
-        [("sprak", 10), ("unrelated", 99), ("sprakle", 1)], ["term", "df"])
+        [("unrelated", 99), ("sprakle", 1)], ["term", "df"])
     got = spell.suggest_similar(vdf, "sprak", num_sug=5).collect()
     terms = [r.term for r in got]
     assert "sprak" not in terms
     assert "unrelated" not in terms       # shares no gram / low score
     assert "sprakle" in terms             # lev 2 / len 7 -> 0.714286
+
+
+def test_suggest_existing_word_and_more_popular(spark):
+    """Reference popularity contract (SpellChecker.cs:206-285): a word
+    already in the index yields NO suggestions by default (:217); with
+    more_popular=True only strictly-more-frequent terms qualify (:285)."""
+    vdf = spark.createDataFrame(
+        [("sprak", 10), ("sprakle", 1), ("spark", 40)], ["term", "df"])
+    assert spell.suggest_similar(vdf, "sprak", num_sug=5).count() == 0
+    got = spell.suggest_similar(vdf, "sprak", num_sug=5,
+                                more_popular=True).collect()
+    assert [r.term for r in got] == ["spark"]  # df 40 > goal 10; 1 < 10 out
 
 
 def test_suggest_index_vocab_smoke(spark, sf_dir):
