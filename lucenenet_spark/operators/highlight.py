@@ -40,7 +40,8 @@ def _wrap(tok: Column, qterms: list[str], pre: str, post: str) -> Column:
                   F.concat(F.lit(pre), tok, F.lit(post))).otherwise(tok)
 
 
-def highlight_expr(text: Column, qterms: list[str], frag_tokens: int = 16,
+def highlight_expr(text: Column, qterms: list[str],
+                   frag_tokens: int | None = 16,
                    pre: str = "<b>", post: str = "</b>") -> tuple[Column, ...]:
     """(frag_idx, frag_score, snippet) columns for one text column.
 
@@ -48,8 +49,17 @@ def highlight_expr(text: Column, qterms: list[str], frag_tokens: int = 16,
     KEPT in the window text — the snippet shows the stored surface, while
     scoring counts only the query's (already analyzed) terms, mirroring
     QueryScorer matching on the term text of the token stream.
+
+    frag_tokens=None is the NullFragmenter
+    (contrib/Highlighter/NullFragmenter.cs): the whole field is one
+    fragment — every query term in the document gets wrapped.
     """
     toks = standard_tokens(text)
+    if frag_tokens is None:
+        score = F.size(F.filter(toks, lambda t: t.isin(qterms)))
+        snippet = F.array_join(
+            F.transform(toks, lambda t: _wrap(t, qterms, pre, post)), " ")
+        return F.lit(0).cast("long"), score.cast("long"), snippet
     w = frag_tokens
     nfrag = F.greatest(F.lit(1), F.ceil(F.size(toks) / F.lit(w))
                        .cast("int"))
@@ -92,3 +102,65 @@ def best_fragments(hits: DataFrame, docs: DataFrame, qterms: list[str],
                     frag_score.alias("frag_score"),
                     snippet.alias("snippet"))
             .orderBy(F.desc("score"), "doc_id"))
+
+
+# ----------------------- formatting extras (contrib/Highlighter)
+
+
+def html_encode(col: Column) -> Column:
+    """SimpleHTMLEncoder (contrib/Highlighter/SimpleHTMLEncoder.cs):
+    entity-escape & " < > in the stored text BEFORE markup is wrapped,
+    so document text can never break the highlight HTML.  (The
+    reference also numeric-escapes chars >= 127; left as-is here — the
+    engine's snippets are unicode-clean.)"""
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "\"", "&quot;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def _parse_hex_color(c: str) -> tuple[int, int, int]:
+    c = c.lstrip("#")
+    return int(c[0:2], 16), int(c[2:4], 16), int(c[4:6], 16)
+
+
+def gradient_color(score: Column, max_score: float,
+                   min_color: str = "#FFFFFF",
+                   max_color: str = "#000080") -> Column:
+    """GradientFormatter's color ramp
+    (contrib/Highlighter/GradientFormatter.cs:134-170): per channel,
+    ``min(cmin,cmax) + int(|cmin-cmax| * min(score,maxScore)/maxScore)``
+    rendered as uppercase #RRGGBB.  Pure column algebra — each hit's
+    term weight maps to a color with no Python in the row path."""
+    lo = _parse_hex_color(min_color)
+    hi = _parse_hex_color(max_color)
+    rel = F.least(F.lit(float(max_score)), score.cast("double")) \
+        / F.lit(float(max_score))
+
+    def chan(cmin: int, cmax: int) -> Column:
+        if cmin == cmax:
+            v = F.lit(cmin)
+        else:
+            v = (F.lit(min(cmin, cmax))
+                 + F.floor(F.lit(float(abs(cmin - cmax))) * rel)
+                 .cast("int"))
+        return F.lpad(F.upper(F.hex(v)), 2, "0")
+
+    return F.concat(F.lit("#"), chan(lo[0], hi[0]), chan(lo[1], hi[1]),
+                    chan(lo[2], hi[2]))
+
+
+def gradient_wrap(tok: Column, term_scores: dict[str, float],
+                  max_score: float, min_color: str = "#FFFFFF",
+                  max_color: str = "#000080") -> Column:
+    """HighlightTerm under GradientFormatter (GradientFormatter.cs:
+    104-132): zero-score tokens pass through untouched; scored terms
+    wrap in a font tag whose color interpolates with the term weight."""
+    score = F.lit(0.0)
+    for t, s in sorted(term_scores.items()):
+        score = F.when(tok == t, F.lit(float(s))).otherwise(score)
+    color = gradient_color(score, max_score, min_color, max_color)
+    return F.when(
+        score > 0.0,
+        F.concat(F.lit('<font color="'), color, F.lit('">'), tok,
+                 F.lit("</font>"))).otherwise(tok)

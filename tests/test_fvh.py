@@ -107,3 +107,58 @@ def test_fvh_snippet_is_a_stored_slice_with_markup(spark, corpus, vectors):
     # doc 0: "Spark" keeps its original capital S in the snippet
     r0 = next(r for r in rows if r["doc_id"] == 0)
     assert "<b>Spark</b>" in r0["snippet"]
+
+
+# ------------- contrib/Highlighter formatting extras (round 4)
+
+
+def test_null_fragmenter_whole_field(spark):
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.operators.highlight import highlight_expr
+
+    df = spark.createDataFrame(
+        [("merge batch merge stream",)], "text string")
+    idx, score, snip = highlight_expr(F.col("text"), ["merge"],
+                                      frag_tokens=None)
+    r = df.select(idx.alias("i"), score.alias("s"),
+                  snip.alias("snip")).collect()[0]
+    assert r["i"] == 0 and r["s"] == 2
+    assert r["snip"] == "<b>merge</b> batch <b>merge</b> stream"
+
+
+def test_html_encode_entities(spark):
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.operators.highlight import html_encode
+
+    df = spark.createDataFrame([('a<b>&"c"',)], "t string")
+    assert df.select(html_encode(F.col("t")).alias("e")).collect()[0]["e"] \
+        == "a&lt;b&gt;&amp;&quot;c&quot;"
+
+
+def test_gradient_color_golden(spark):
+    """Hand-derived GradientFormatter points (GetColorVal math,
+    GradientFormatter.cs:160-170): #000000->#FF0000 at maxScore 10."""
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.operators.highlight import gradient_color
+
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,), (25.0,)],
+                               "s double")
+    got = [r["c"] for r in df.select(gradient_color(
+        F.col("s"), 10.0, "#000000", "#FF0000").alias("c")).collect()]
+    assert got == ["#000000", "#7F0000", "#FF0000", "#FF0000"]  # clamp
+
+
+def test_gradient_wrap_zero_score_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.operators.highlight import gradient_wrap
+
+    df = spark.createDataFrame([("merge",), ("other",)], "t string")
+    out = {r["t"]: r["w"] for r in df.select(
+        "t", gradient_wrap(F.col("t"), {"merge": 10.0}, 10.0,
+                           "#000000", "#FF0000").alias("w")).collect()}
+    assert out["other"] == "other"
+    assert out["merge"] == '<font color="#FF0000">merge</font>'
