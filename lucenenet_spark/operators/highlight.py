@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from ..analysis.exprs import standard_tokens
 
-__all__ = ["best_fragments", "highlight_expr"]
+__all__ = ["best_fragments", "highlight_expr", "html_encode",
+           "gradient_color", "gradient_wrap", "span_best_fragments"]
 
 
 def _wrap(tok: Column, qterms: list[str], pre: str, post: str) -> Column:
@@ -164,3 +165,53 @@ def gradient_wrap(tok: Column, term_scores: dict[str, float],
         score > 0.0,
         F.concat(F.lit('<font color="'), color, F.lit('">'), tok,
                  F.lit("</font>"))).otherwise(tok)
+
+
+def span_best_fragments(searcher, span_query, frag_tokens: int = 16,
+                        text_col: str = "content",
+                        pre: str = "<b>", post: str = "</b>") -> "DataFrame":
+    """SimpleSpanFragmenter analogue
+    (contrib/Highlighter/SimpleSpanFragmenter.cs:60-90: a fragment
+    boundary NEVER lands inside a span match — the fragmenter waits for
+    the span end before breaking).  Set-oriented: the doc's span list
+    comes from Searcher.span_filter_result (one aggregation), and the
+    chosen window starts AT a span start, picked to cover the most
+    complete spans — so a phrase/span match is always shown whole, where
+    a count-based fragmenter could cut it mid-phrase.
+
+    Returns (doc_id, frag_start, n_spans_in, snippet); every matching
+    doc yields one row.  All column algebra over the hit list — O(hits),
+    no Python in the row path."""
+    from pyspark.sql import functions as F
+
+    spans = searcher.span_filter_result(span_query)
+    stored = searcher.index.stored
+    id_col = searcher.index.id_col
+    w = int(frag_tokens)
+    joined = spans.join(
+        stored.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        "doc_id")
+    toks = standard_tokens(F.col(text_col))
+    ps = F.col("positions")
+    # candidate windows anchored at each span start; score = complete
+    # spans inside [start, start + w)  (struct max tie-breaks earliest)
+    cands = F.transform(ps, lambda p: F.struct(
+        F.size(F.filter(ps, lambda q: (q["start"] >= p["start"])
+                        & (q["end"] <= p["start"] + w))).alias("m"),
+        (-p["start"]).alias("ns")))
+    best = F.array_max(cands)
+    start = -best["ns"]
+    covered = lambda i: F.exists(  # noqa: E731
+        ps, lambda p: (p["start"] <= i) & (i < p["end"]))
+    snippet = F.array_join(
+        F.transform(
+            F.sequence(start, F.least(start + w - 1, F.size(toks) - 1)),
+            lambda i: F.when(
+                covered(i),
+                F.concat(F.lit(pre), F.element_at(toks, i + 1),
+                         F.lit(post))
+            ).otherwise(F.element_at(toks, i + 1))),
+        " ")
+    return joined.select(
+        "doc_id", start.alias("frag_start"),
+        best["m"].alias("n_spans_in"), snippet.alias("snippet"))

@@ -162,3 +162,33 @@ def test_gradient_wrap_zero_score_passthrough(spark):
                            "#000000", "#FF0000").alias("w")).collect()}
     assert out["other"] == "other"
     assert out["merge"] == '<font color="#FF0000">merge</font>'
+
+
+def test_span_fragmenter_never_cuts_a_match(spark):
+    """SimpleSpanFragmenter contract: the chosen window contains the
+    span match WHOLE, even when the phrase sits far into the doc."""
+    from lucenenet_spark.index.segments import build_segmented_index
+    from lucenenet_spark.operators.highlight import span_best_fragments
+    from lucenenet_spark.plans import ast
+    from lucenenet_spark.plans.lowering import Searcher
+    from lucenenet_spark.sources.corpus import with_doc_ids
+
+    filler = " ".join(f"pad{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [("r", "a", filler + " merge group part trailing words here"),
+         ("r", "b", "no match at all in this one")],
+        "repo string, path string, content string")
+    idx = build_segmented_index(spark, with_doc_ids(df),
+                                text_col="content")
+    s = Searcher(idx)
+    q = ast.SpanNear((ast.SpanTerm("merge", field="content"),
+                      ast.SpanTerm("group", field="content"),
+                      ast.SpanTerm("part", field="content")),
+                     slop=0, in_order=True)
+    rows = span_best_fragments(s, q, frag_tokens=8,
+                               text_col="content").collect()
+    assert len(rows) == 1  # only the matching doc
+    r = rows[0]
+    assert r["frag_start"] == 30           # window STARTS at the span
+    assert r["n_spans_in"] == 1
+    assert "<b>merge</b> <b>group</b> <b>part</b>" in r["snippet"]
