@@ -215,3 +215,74 @@ def span_best_fragments(searcher, span_query, frag_tokens: int = 16,
     return joined.select(
         "doc_id", start.alias("frag_start"),
         best["m"].alias("n_spans_in"), snippet.alias("snippet"))
+
+
+def extract_terms(q, field: str | None = None,
+                  prohibited: bool = False) -> list[tuple[str, float]]:
+    """QueryTermExtractor.GetTerms (contrib/Highlighter/
+    QueryTermExtractor.cs:42-120): walk the query tree collecting
+    (term text, boost) pairs — boolean clauses recurse (MUST_NOT only
+    under prohibited=True), phrases contribute each word, span trees
+    contribute their leaves; multi-term expansions (prefix/wildcard/
+    fuzzy) are skipped exactly like the reference's pre-rewrite
+    extractor.  ``field`` filters to one field's terms."""
+    from ..plans import ast
+
+    def keep(f: str) -> bool:
+        return field is None or f == field
+
+    def walk(node) -> list[tuple[str, float]]:
+        if isinstance(node, ast.Term):
+            return [(node.term, node.boost)] if keep(node.field) else []
+        if isinstance(node, ast.Bool):
+            out = [p for c in node.must + node.should for p in walk(c)]
+            if prohibited:
+                out += [p for c in node.must_not for p in walk(c)]
+            return out
+        if isinstance(node, (ast.Phrase,)):
+            return ([(t, node.boost) for t in node.terms
+                     if t is not None] if keep(node.field) else [])
+        if isinstance(node, ast.MultiPhrase):
+            return ([(t, node.boost) for alts in node.terms_at
+                     for t in alts] if keep(node.field) else [])
+        if isinstance(node, ast.DisMax):
+            return [p for c in node.queries for p in walk(c)]
+        if isinstance(node, ast.SPAN_NODES):
+            return [(t.term, t.boost) for t in ast.span_leaves(node)
+                    if keep(t.field)]
+        if isinstance(node, ast.Filtered):
+            return walk(node.query)
+        if isinstance(node, ast.Boosting):
+            return walk(node.match)
+        if isinstance(node, ast.ConstantScore):
+            return walk(node.query)
+        return []  # multi-term expansions / function queries: skipped
+
+    seen: dict[str, float] = {}
+    for t, b in walk(q):
+        seen[t] = max(seen.get(t, 0.0), float(b))
+    return sorted(seen.items())
+
+
+def idf_weighted_terms(searcher, q, field: str = "content",
+                       prohibited: bool = False) -> dict[str, float]:
+    """GetIdfWeightedTerms (QueryTermExtractor.cs:55-79): each extracted
+    term's boost is multiplied by the classic idf ln(N/(df+1))+1, df
+    capped at N.  One term-dictionary lookup (metadata-scale) — feeds
+    gradient_wrap for weight-colored highlighting."""
+    import math
+
+    terms = extract_terms(q, field=field, prohibited=prohibited)
+    if not terms:
+        return {}
+    n = searcher.index.n_docs
+    stats = searcher.index.term_stats()
+    rows = (stats.where((F.col("field") == field)
+                        & F.col("term").isin([t for t, _ in terms]))
+            .select("term", "df").collect())
+    dfs = {r["term"]: int(r["df"]) for r in rows}
+    out = {}
+    for t, b in terms:
+        df = min(dfs.get(t, 0), n)
+        out[t] = b * (math.log(n / (df + 1.0)) + 1.0)
+    return out

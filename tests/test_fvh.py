@@ -192,3 +192,39 @@ def test_span_fragmenter_never_cuts_a_match(spark):
     assert r["frag_start"] == 30           # window STARTS at the span
     assert r["n_spans_in"] == 1
     assert "<b>merge</b> <b>group</b> <b>part</b>" in r["snippet"]
+
+
+def test_extract_terms_and_idf_weights(spark):
+    """QueryTermExtractor: tree walk collects (term, boost) pairs —
+    MUST_NOT only under prohibited; idf weighting multiplies by
+    ln(N/(df+1))+1 with df capped at N."""
+    import math
+
+    from lucenenet_spark.index.segments import build_segmented_index
+    from lucenenet_spark.operators.highlight import (extract_terms,
+                                                     idf_weighted_terms)
+    from lucenenet_spark.plans import ast
+    from lucenenet_spark.plans.lowering import Searcher
+    from lucenenet_spark.sources.corpus import with_doc_ids
+
+    q = ast.Bool(must=(ast.Term("merge", boost=2.0),),
+                 should=(ast.Phrase(("group", "part")),),
+                 must_not=(ast.Term("vector"),))
+    assert extract_terms(q) == [("group", 1.0), ("merge", 2.0),
+                                ("part", 1.0)]
+    assert ("vector", 1.0) in extract_terms(q, prohibited=True)
+
+    df = spark.createDataFrame(
+        [("r", "a", "merge group part"), ("r", "b", "merge only"),
+         ("r", "c", "merge again too")],
+        "repo string, path string, content string")
+    idx = build_segmented_index(spark, with_doc_ids(df),
+                                text_col="content")
+    w = idf_weighted_terms(
+        Searcher(idx),
+        ast.Bool(must=(ast.Term("merge", field="content", boost=2.0),
+                       ast.Term("group", field="content"))),
+        field="content")
+    n = 3
+    assert w["merge"] == pytest.approx(2.0 * (math.log(n / 4.0) + 1.0))
+    assert w["group"] == pytest.approx(1.0 * (math.log(n / 2.0) + 1.0))
