@@ -72,3 +72,15 @@ def test_overlapping_fields_rejected(spark, corpus):
     b = build_segmented_index(spark, corpus, text_col="content")
     with pytest.raises(ValueError, match="overlapping fields"):
         parallel_reader(a, b)
+
+
+def test_parallel_term_enum(spark, combined, composed):
+    """TestParallelTermEnum behavior: enumerating terms over the
+    composed reader walks BOTH parts' fields, identically to the
+    combined build."""
+    a = [(r["field"], r["term"]) for r in
+         composed.enumerate_terms().collect()]
+    b = [(r["field"], r["term"]) for r in
+         combined.enumerate_terms().collect()]
+    assert a == b
+    assert {f for f, _ in a} == {"content", "repo"}
