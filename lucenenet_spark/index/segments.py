@@ -645,7 +645,13 @@ class SegmentedIndex:
         TermDocs per term).  At Spark scale the enumerator IS a sorted
         DataFrame, not a cursor: term-dictionary rows only (no blob
         decode) unless include_docs pulls the posting docs, and
-        numeric= casts the term for the typed variants."""
+        numeric= casts the term for the typed variants.
+
+        Scale note: include_docs collect_lists each term's doc ids into
+        ONE array row — df-bounded, so a stop-word-grade term yields a
+        corpus-sized array.  For bulk per-doc processing prefer the
+        postings_nopos view (stays relational); gate hot terms with a
+        df filter first (term_stats carries df)."""
         t = self.term_stats()
         if field is not None:
             t = t.where(F.col("field") == field)
