@@ -442,3 +442,32 @@ def rewrite(q: Query) -> Query:
     if isinstance(q, Boosting):
         return replace(q, match=rewrite(q.match), context=rewrite(q.context))
     return q
+
+
+def to_span_query(q: Query) -> Query:
+    """Query -> SpanQuery conversion
+    (Search/Payloads/PayloadSpanUtil.cs:80-140 QueryToSpanQuery):
+    Term -> SpanTerm; Phrase -> SpanNear(slop, in_order = slop==0);
+    Bool -> SpanOr over MUST+SHOULD clauses (prohibited clauses are
+    dropped, like the reference); DisMax -> SpanOr; span nodes pass
+    through.  Multi-term expansions are not convertible pre-rewrite —
+    same as the reference, which simply finds no spans for them."""
+    if isinstance(q, SPAN_NODES):
+        return q
+    if isinstance(q, Term):
+        return SpanTerm(q.term, q.field, q.boost)
+    if isinstance(q, Phrase):
+        terms = tuple(t for t in q.terms if t is not None)
+        return SpanNear(tuple(SpanTerm(t, q.field) for t in terms),
+                        slop=q.slop, in_order=(q.slop == 0))
+    if isinstance(q, Bool):
+        clauses = tuple(to_span_query(c) for c in q.must + q.should)
+        if len(clauses) == 1:
+            return clauses[0]
+        return SpanOr(clauses)
+    if isinstance(q, DisMax):
+        return SpanOr(tuple(to_span_query(c) for c in q.queries))
+    if isinstance(q, (ConstantScore, Filtered)):
+        return to_span_query(q.query)
+    raise NotImplementedError(
+        f"no span conversion for {type(q).__name__}")

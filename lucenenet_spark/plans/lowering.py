@@ -142,6 +142,41 @@ class Searcher:
         return _SPAN_FILTER_CACHE.get(self.index, repr(ast.rewrite(q)),
                                       lambda: self.span_filter_result(q))
 
+    def payloads_for_query(self, q: ast.Query) -> DataFrame:
+        """PayloadSpanUtil.GetPayloadsForQuery (src/Lucene.Net/Search/
+        Payloads/PayloadSpanUtil.cs:70-180): every payload at a position
+        covered by one of the query's span matches.  The reference
+        converts the query to spans (QueryToSpanQuery, :80-140 —
+        ast.to_span_query here) and walks TermSpans collecting payload
+        bytes; here the span frame and the decoded payload view join on
+        (doc, position-inside-span) — one semi-join, positions only of
+        the query's own leaf terms ever decode.  Returns
+        (doc_id, payloads: array<float> in position order)."""
+        sq = ast.to_span_query(ast.rewrite(q))
+        spans = (self._live(self._spans(sq))
+                 .select("doc_id", "s", "e"))
+        leaves = ast.span_leaves(sq)
+        pp = self.index.postings_payloads
+        cond = None
+        for t in {(le.field, le.term) for le in leaves}:
+            c = (F.col("field") == t[0]) & (F.col("term") == t[1])
+            cond = c if cond is None else (cond | c)
+        rows = (pp.where(cond)
+                .select("doc_id", F.explode(F.arrays_zip(
+                    F.col("positions").alias("pos"),
+                    F.col("payloads").alias("pay"))).alias("z"))
+                .select("doc_id", F.col("z.pos").alias("pos"),
+                        F.col("z.pay").alias("pay"))
+                .where(F.col("pay").isNotNull()))
+        inside = ((rows["doc_id"] == spans["doc_id"])
+                  & (rows["pos"] >= spans["s"])
+                  & (rows["pos"] < spans["e"]))
+        hit = rows.join(spans, inside, "left_semi")
+        return (hit.groupBy("doc_id")
+                .agg(F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "pay"))),
+                    lambda x: x["pay"]).alias("payloads")))
+
     def search_with_timeout(self, q: ast.Query, k: int = 10,
                             timeout_sec: float = 30.0) -> list:
         """TimeLimitingCollector analogue (src/Lucene.Net/Search/

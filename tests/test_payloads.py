@@ -222,3 +222,43 @@ def test_plain_index_rejects_payload_query(spark):
                ast.PayloadTerm("cat", fn="max",
                                include_span_score=False), 10).collect()}
     assert got == {0: pytest.approx(1.0)}
+
+
+def test_payloads_for_query(spark, pay_index):
+    """PayloadSpanUtil.GetPayloadsForQuery: payloads only at positions
+    the query's spans cover — term query collects that term's payloads
+    per doc; a phrase restricts to the matched window."""
+    from lucenenet_spark.plans.lowering import Searcher
+
+    s = Searcher(pay_index)
+    got = {r["doc_id"]: r["payloads"] for r in
+           s.payloads_for_query(ast.Term("cat", field="text")).collect()}
+    assert got[0] == pytest.approx([2.0, 4.0])      # positions 0, 2
+    assert got[1] == pytest.approx([0.5])
+    assert got[3] == pytest.approx([1.0])
+    assert 2 not in got                             # no 'cat' in doc 2
+
+    # phrase "cat dog": doc 0 matches at (0,2), doc 1 at (2,4); doc 3
+    # has 'big' between them — no span, no payloads.  Only positions
+    # INSIDE the span contribute (doc 0's trailing cat|4.0 at pos 2 is
+    # outside the (0,2) window and stays out).
+    ph = {r["doc_id"]: r["payloads"] for r in
+          s.payloads_for_query(
+              ast.Phrase(("cat", "dog"), field="text")).collect()}
+    assert set(ph) == {0, 1}
+    assert ph[0] == pytest.approx([2.0, 1.0])
+    assert ph[1] == pytest.approx([0.5, 2.0])
+
+
+def test_to_span_query_conversion():
+    """QueryToSpanQuery shapes (PayloadSpanUtil.cs:80-140)."""
+    sq = ast.to_span_query(ast.Term("cat", field="f"))
+    assert sq == ast.SpanTerm("cat", "f")
+    ph = ast.to_span_query(ast.Phrase(("a", "b"), field="f", slop=2))
+    assert isinstance(ph, ast.SpanNear) and ph.slop == 2 and not ph.in_order
+    bq = ast.to_span_query(ast.Bool(
+        must=(ast.Term("a", field="f"),),
+        should=(ast.Term("b", field="f"),),
+        must_not=(ast.Term("c", field="f"),)))
+    assert isinstance(bq, ast.SpanOr)
+    assert {t.term for t in ast.span_leaves(bq)} == {"a", "b"}  # c dropped
