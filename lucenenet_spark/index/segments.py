@@ -972,6 +972,15 @@ def build_segmented_index(
                 os.path.join(checkpoint_dir, f"wave_{latest:03d}",
                              "segments"))
             n = seg.select("seg_id").distinct().count()
+            # When the pointer selected a generation LOWER than stale
+            # committed wave dirs left behind (the snapshot-copied-over-
+            # checkpoint case this feature exists for), those higher dirs
+            # MUST lose: _commit_wave's skip-if-marker would otherwise
+            # return a stale wave's parquet as the next merge result.
+            # Drop them before entering the merge loop (the reference
+            # likewise deletes files newer than the chosen commit point
+            # on rollback, IndexWriter.cs Rollback/deleter.Refresh).
+            _drop_stale_waves(checkpoint_dir, wave)
         _expire_waves(checkpoint_dir, wave, retain_waves)
 
     # merge: one shot (fan_in=None) or geometric waves down to target
@@ -1011,6 +1020,7 @@ def update_documents(
     lang_col: str | None = None,
     positions: bool = True,
     keyword_cols: dict[str, str] | None = None,
+    id_base: int | None = None,
 ) -> SegmentedIndex:
     """Atomic UpdateDocument: delete-by-key + add in one step
     (src/Lucene.Net/Index/IndexWriter.cs:2479 UpdateDocument = buffered
@@ -1035,7 +1045,15 @@ def update_documents(
     dead = (index.stored.join(keys, list(key_cols), "left_semi")
             .select(F.col(id_col).alias("doc_id")))
 
-    base = (index.stored.agg(F.max(F.col(id_col))).collect()[0][0] or 0) + 1
+    # id_base: callers owning a WIDER id space than this one index (e.g.
+    # ShardedIndex routing updates into its open-topped last shard) pass
+    # the global max so fresh ids never collide with sibling indexes —
+    # an empty or low-id last shard must not restart the id sequence.
+    if id_base is not None:
+        base = int(id_base) + 1
+    else:
+        base = (index.stored.agg(F.max(F.col(id_col))).collect()[0][0]
+                or 0) + 1
     # distributed id assignment: partition-local rank + per-partition base
     # offsets (the docID-rebase trick, sources/corpus.with_doc_ids) — a
     # global row_number window would force every new row through ONE task
@@ -1094,6 +1112,22 @@ def _latest_committed_wave(ckpt: str) -> int | None:
         name = os.path.basename(os.path.dirname(m))
         waves.append(int(name.split("_")[1]))
     return max(waves) if waves else None
+
+
+def _drop_stale_waves(ckpt: str, resumed: int) -> None:
+    """Remove wave dirs ABOVE the resumed generation: they are stale
+    leftovers the authoritative segments.gen pointer has disowned, and a
+    surviving _COMMITTED.json there would short-circuit the next merge
+    wave into returning stale segments."""
+    import glob as _glob
+    import shutil
+    for d in _glob.glob(os.path.join(ckpt, "wave_*")):
+        try:
+            idx = int(os.path.basename(d).split("_")[1])
+        except (IndexError, ValueError):
+            continue
+        if idx > resumed:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _expire_waves(ckpt: str, current: int, retain: int | None) -> None:

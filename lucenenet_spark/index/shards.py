@@ -116,8 +116,18 @@ class ShardedIndex:
             dead = (s.stored.join(keys, list(key_cols), "left_semi")
                     .select(F.col(s.id_col).alias("doc_id")))
             out.append(s.with_deletes(dead))
+        # Fresh-id base = the GLOBAL max across every shard (ascending
+        # ranges do not guarantee the last shard holds the max id: its
+        # range can be empty of documents), so replacement ids never
+        # collide with a sibling shard's — the global-uniqueness
+        # invariant union_view depends on.  One tiny agg per shard
+        # (metadata-scale, like the reference's IndexSets walk).
+        gmax = 0
+        for s in self.shards:
+            m = s.stored.agg(F.max(F.col(s.id_col))).collect()[0][0]
+            gmax = max(gmax, int(m or 0))
         out.append(update_documents(self.shards[-1], new_docs, key_cols,
-                                    text_col, **kwargs))
+                                    text_col, id_base=gmax, **kwargs))
         return replace(self, shards=out, _union=None)
 
     def expunge_deletes(self) -> "ShardedIndex":
@@ -224,15 +234,25 @@ def build_sharded_index(
     hi = docs.agg(F.max(F.col(id_col))).collect()[0][0]
     if hi is None:
         raise ValueError("empty corpus")
-    width = (int(hi) + n_shards) // n_shards
+    hi = int(hi)
+    # Balanced NON-EMPTY id ranges: n_shards is capped at the id-space
+    # size and the remainder spread over the first shards, so no range —
+    # in particular the open-topped LAST one, which owns fresh update ids
+    # — can be empty in id space (an empty last shard would restart the
+    # id sequence at 1 and collide with shard 0, breaking the global
+    # uniqueness invariant union_view/check_sharded depend on).
+    n_eff = max(1, min(n_shards, hi + 1))
+    width, rem = divmod(hi + 1, n_eff)
     bounds: list[tuple[int, int]] = []
     shards: list[SegmentedIndex] = []
-    for i in range(n_shards):
-        lo = i * width
-        top = OPEN_TOP if i == n_shards - 1 else (i + 1) * width - 1
-        part = docs.where(F.col(id_col).between(lo, min(top, int(hi))))
+    lo = 0
+    for i in range(n_eff):
+        w = width + (1 if i < rem else 0)
+        top = OPEN_TOP if i == n_eff - 1 else lo + w - 1
+        part = docs.where(F.col(id_col).between(lo, min(top, hi)))
         shards.append(build_segmented_index(
             spark, part, text_col=text_col, id_col=id_col, **build_kwargs))
         bounds.append((lo, top))
+        lo += w
     return ShardedIndex(spark=spark, shards=shards, bounds=bounds,
                         id_col=id_col)

@@ -149,13 +149,29 @@ def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path")
     # partition ids, so base+local-rank ids follow GLOBAL key order (the
     # drop-in distributed replacement for a row_number() window); hash
     # (default) spreads skewed keys better when only density matters.
-    part = (docs.repartitionByRange(np_, *key) if range_partition
-            else docs.repartition(np_, *key)
-            ).sortWithinPartitions(*order_cols)
-    counts = (
-        part.groupBy(F.spark_partition_id().alias("_pid"))
-        .count().collect()
-    )
+    #
+    # Partition identity must travel AS DATA, never via TaskContext /
+    # spark_partition_id() at assignment time: a downstream operator in
+    # the same stage (e.g. a union of this output with other frames)
+    # renumbers task partition ids, and RangePartitioner re-samples its
+    # boundaries with an RDD-id-derived seed on every re-planning — both
+    # silently shift the base-offset lookup and duplicate ids (observed
+    # on a 2-row update batch).
+    if range_partition:
+        # bake the TRUE partition id into the rows during one pinned,
+        # standalone materialization; downstream jobs read frozen blocks
+        part = (docs.repartitionByRange(np_, *key)
+                .sortWithinPartitions(*order_cols)
+                .withColumn("_pid", F.spark_partition_id().cast("long"))
+                .localCheckpoint(eager=True))
+    else:
+        # hash placement is the pure key function pmod(murmur3(key), n) —
+        # recompute it as a column expression, no pinning needed
+        part = (docs.repartition(np_, *key)
+                .sortWithinPartitions(*order_cols)
+                .withColumn("_pid",
+                            F.pmod(F.hash(*key), F.lit(np_)).cast("long")))
+    counts = part.groupBy("_pid").count().collect()
     bases = {}
     acc = 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
@@ -165,15 +181,24 @@ def with_doc_ids(docs: DataFrame, order_cols: tuple[str, ...] = ("repo", "path")
     from pyspark.sql import types as T
 
     schema = T.StructType(
-        list(part.schema.fields) + [T.StructField("doc_id", T.LongType(), False)]
+        [f for f in part.schema.fields if f.name != "_pid"]
+        + [T.StructField("doc_id", T.LongType(), False)]
     )
     cols = [f.name for f in schema]
 
     def assign(batches):
-        from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
-        nxt = bases.get(pid, 0)
+        nxt = None
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pids = pdf["_pid"].unique()
+            if len(pids) != 1:
+                raise RuntimeError(
+                    f"with_doc_ids: mixed partition ids in one input "
+                    f"partition ({pids[:4]}): placement drifted from the "
+                    f"recorded base offsets")
+            if nxt is None:
+                nxt = bases.get(int(pids[0]), 0)
             pdf = pdf.copy()
             pdf["doc_id"] = range(nxt, nxt + len(pdf))
             nxt += len(pdf)

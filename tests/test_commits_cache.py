@@ -116,3 +116,42 @@ def test_segment_cache_weak_eviction():
     b = _Holder()
     c.get(b, "y")
     assert len(c._cache) == 1
+
+
+def test_resume_drops_stale_waves_above_pointer(spark, corpus, tmp_path):
+    """Regression (round-4 advice): pointer resume at generation g with a
+    stale COMMITTED wave dir at g+1 left behind.  _commit_wave's
+    skip-if-marker must not hand that stale parquet back as the next
+    merge result — resume drops every wave dir above g first (the
+    reference's rollback deletes files newer than the chosen commit,
+    IndexWriter.cs Rollback/deleter.Refresh)."""
+    ck = str(tmp_path / "ck")
+    ref = build_segmented_index(spark, corpus, text_col="content",
+                                lang_col="lang", fan_in=3,
+                                checkpoint_dir=ck, retain_waves=None)
+    ref_hits = _hits(ref)
+
+    ck2 = str(tmp_path / "ck2")
+    os.makedirs(ck2)
+    # genuine generation 0 = the pre-merge invert output
+    shutil.copytree(os.path.join(ck, "wave_000"),
+                    os.path.join(ck2, "wave_000"))
+    write_segments_gen(ck2, 0)
+    # forge a CORRUPT committed wave_001: only one segment survives --
+    # if resume trusts this marker, the index silently loses documents
+    w0 = spark.read.parquet(os.path.join(ck2, "wave_000", "segments"))
+    min_seg = w0.agg({"seg_id": "min"}).collect()[0][0]
+    corrupt = w0.where(f"seg_id = {min_seg}")
+    corrupt.write.parquet(os.path.join(ck2, "wave_001", "segments"))
+    with open(os.path.join(ck2, "wave_001", "_COMMITTED.json"), "w") as f:
+        json.dump({"wave": 1, "rows": 0, "n_segments": 1,
+                   "postings_bytes": 0}, f)
+    assert _latest_committed_wave(ck2) == 1
+
+    resumed = build_segmented_index(spark, corpus, text_col="content",
+                                    lang_col="lang", fan_in=3,
+                                    checkpoint_dir=ck2, retain_waves=None,
+                                    use_segments_gen=True)
+    assert _hits(resumed) == ref_hits
+    assert resumed.n_docs == ref.n_docs
+    assert resumed.n_segments() == ref.n_segments()

@@ -183,3 +183,36 @@ def test_save_load_roundtrip(spark, corpus, sharded, tmp_path):
     assert back.bounds == sharded.bounds
     for q in QUERIES[:3]:
         assert _hits(back.searcher(), q) == _hits(sharded.searcher(), q), q
+
+
+def test_small_idspace_caps_shards_no_empty_range(spark, corpus):
+    """Regression (round-4 advice): more shards than ids must not create
+    an empty last shard — empty shard would restart the fresh-id
+    sequence at 1 and collide with shard 0's doc_ids, breaking the
+    global-uniqueness invariant union_view/check_sharded depend on."""
+    from lucenenet_spark.index.checkindex import check_sharded
+
+    small = corpus.where(F.col("doc_id") <= 10)   # ids 1..10
+    sh = build_sharded_index(spark, small, n_shards=7,
+                             text_col="content", lang_col="lang")
+    # every shard owns at least one document
+    for s in sh.shards:
+        assert s.n_docs >= 1
+    assert check_sharded(sh)["clean"]
+
+    some = small.orderBy("doc_id").limit(2).collect()
+    rows = [(r["repo"], r["path"], r["commit"], r["lang"],
+             "tiny idspace fresh update") for r in some]
+    new_docs = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string")
+    sh2 = sh.update_documents(new_docs, ["repo", "path"], "content",
+                              lang_col="lang")
+    ids = [r["doc_id"] for r in
+           sh2.union_view().stored.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)), "fresh ids collided across shards"
+    assert check_sharded(sh2)["clean"]
+    fresh = [r["doc_id"] for r in sh2.shards[-1].stored
+             .where(F.col("content").contains("tiny idspace"))
+             .select("doc_id").collect()]
+    assert len(fresh) == 2 and min(fresh) > 10
