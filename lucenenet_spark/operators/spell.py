@@ -69,11 +69,15 @@ def suggest_similar(vocab: DataFrame, word: str, num_sug: int = 5,
 
     more_popular mirrors the reference's popularity mode
     (SpellChecker.cs:206-285): the searched word's own df is the goal
-    frequency — suggestions must beat it (``goalFreq > sugWord.freq`` is
-    skipped, :285).  Without it, a word already present in the index
-    yields NO suggestions at all (the early return at :217) — correctly
-    spelled words aren't "corrected".  The goal-frequency lookup is one
-    vocabulary-row action, metadata-scale."""
+    frequency — a suggestion is skipped only when ``goalFreq >
+    sugWord.freq`` (:285), so EQUAL-popularity suggestions survive
+    (df >= goal).  Without it, a word already present in the index is
+    its own answer: the reference early-returns ``new String[]{word}``
+    (:217), re-created here as the single row (word, 1.0, goal).
+
+    The goal frequency stays IN the plan: a 1-row aggregate broadcast-
+    crossed into the candidate frame — no separate driver action, so
+    the whole suggestion is one Spark job."""
     grams = word_grams(word)
     term = F.col(term_col)
     shares_gram = None
@@ -85,17 +89,26 @@ def suggest_similar(vocab: DataFrame, word: str, num_sug: int = 5,
         / F.greatest(F.length(term), F.lit(len(word))).cast("double"),
         6,
     )
-    out = (vocab
-           .where(shares_gram & (term != word))
-           .select(term.alias("term"), score.alias("score"),
-                   F.col(df_col).cast("long").alias("df"))
-           .where(F.col("score") >= min_score))
-    goal_row = (vocab.where(term == word)
-                .agg(F.max(F.col(df_col))).collect()[0][0])
-    goal = int(goal_row or 0)
-    if not more_popular and goal > 0:
-        return out.limit(0)  # word exists -> no suggestions (cs:217)
+    goal_df = (vocab.where(term == word)
+               .agg(F.coalesce(F.max(F.col(df_col)), F.lit(0))
+                    .cast("long").alias("_goal")))
+    cand = (vocab
+            .where(shares_gram & (term != word))
+            .select(term.alias("term"), score.alias("score"),
+                    F.col(df_col).cast("long").alias("df"))
+            .where(F.col("score") >= min_score)
+            .crossJoin(F.broadcast(goal_df)))
     if more_popular:
-        out = out.where(F.col("df") > goal)
+        # goalFreq > freq is skipped (cs:285) -> keep df >= goal
+        out = cand.where(F.col("df") >= F.col("_goal")).drop("_goal")
+    else:
+        # word exists -> the word itself is the whole answer (cs:217);
+        # the two branches are mutually exclusive on _goal
+        self_row = (goal_df.where(F.col("_goal") > 0)
+                    .select(F.lit(word).alias("term"),
+                            F.lit(1.0).alias("score"),
+                            F.col("_goal").alias("df")))
+        out = (cand.where(F.col("_goal") == 0).drop("_goal")
+               .unionByName(self_row))
     return (out.orderBy(F.desc("score"), F.desc("df"), "term")
             .limit(num_sug))

@@ -161,6 +161,11 @@ class Searcher:
         for t in {(le.field, le.term) for le in leaves}:
             c = (F.col("field") == t[0]) & (F.col("term") == t[1])
             cond = c if cond is None else (cond | c)
+        if cond is None:
+            # no convertible span leaves (e.g. all clauses prohibited):
+            # the reference finds no spans -> no payloads
+            return self.index.spark.createDataFrame(
+                [], "doc_id long, payloads array<float>")
         rows = (pp.where(cond)
                 .select("doc_id", F.explode(F.arrays_zip(
                     F.col("positions").alias("pos"),
@@ -899,6 +904,12 @@ class Searcher:
                              F.explode("positions").alias("s"))
                     .withColumn("e", F.col("s") + F.lit(1)))
         if isinstance(q, ast.SpanOr):
+            if not q.clauses:
+                # a Bool of only prohibited/unconvertible clauses converts
+                # to SpanOr(()) — the reference simply finds no spans
+                # (PayloadSpanUtil.cs drops prohibited clauses)
+                return self.index.spark.createDataFrame(
+                    [], "doc_id long, dl int, s int, e int")
             frames = [self._spans(c) for c in q.clauses]
             u = frames[0]
             for fr in frames[1:]:

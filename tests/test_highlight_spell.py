@@ -124,14 +124,18 @@ def test_suggest_excludes_word_itself_and_low_scores(spark):
 
 def test_suggest_existing_word_and_more_popular(spark):
     """Reference popularity contract (SpellChecker.cs:206-285): a word
-    already in the index yields NO suggestions by default (:217); with
-    more_popular=True only strictly-more-frequent terms qualify (:285)."""
+    already in the index is its own single answer by default (:217
+    returns new String[]{word}); with more_popular=True terms at LEAST
+    as frequent as the goal qualify (:285 skips only goalFreq > freq)."""
     vdf = spark.createDataFrame(
-        [("sprak", 10), ("sprakle", 1), ("spark", 40)], ["term", "df"])
-    assert spell.suggest_similar(vdf, "sprak", num_sug=5).count() == 0
+        [("sprak", 10), ("sprakle", 1), ("spark", 40), ("sprag", 10)],
+        ["term", "df"])
+    got0 = spell.suggest_similar(vdf, "sprak", num_sug=5).collect()
+    assert [(r.term, r.score, r.df) for r in got0] == [("sprak", 1.0, 10)]
     got = spell.suggest_similar(vdf, "sprak", num_sug=5,
                                 more_popular=True).collect()
-    assert [r.term for r in got] == ["spark"]  # df 40 > goal 10; 1 < 10 out
+    # spark df 40 > goal; sprag df 10 == goal KEPT; sprakle 1 < 10 out
+    assert [r.term for r in got] == ["sprag", "spark"]
 
 
 def test_suggest_index_vocab_smoke(spark, sf_dir):

@@ -262,3 +262,14 @@ def test_to_span_query_conversion():
         must_not=(ast.Term("c", field="f"),)))
     assert isinstance(bq, ast.SpanOr)
     assert {t.term for t in ast.span_leaves(bq)} == {"a", "b"}  # c dropped
+
+
+def test_payloads_for_query_only_prohibited_is_empty(spark, pay_index):
+    """Regression (round-4 advice): a Bool of ONLY prohibited clauses
+    converts to SpanOr(()) — the reference simply finds no spans
+    (PayloadSpanUtil drops prohibited clauses); no crash, empty frame."""
+    s = Searcher(pay_index)
+    q = ast.Bool(must_not=(ast.Term("cat", field="text"),))
+    out = s.payloads_for_query(q)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "payloads"]
