@@ -638,7 +638,8 @@ class SegmentedIndex:
 
     def enumerate_terms(self, field: str | None = None,
                         include_docs: bool = False,
-                        numeric: bool = False) -> DataFrame:
+                        numeric: bool = False,
+                        max_df: int | None = 100_000) -> DataFrame:
         """contrib/Core FieldEnumerator analogue
         (src/contrib/Core/Index/FieldEnumerator.cs: String/Int/...
         enumerators over a field's term dictionary, optionally walking
@@ -648,10 +649,13 @@ class SegmentedIndex:
         numeric= casts the term for the typed variants.
 
         Scale note: include_docs collect_lists each term's doc ids into
-        ONE array row — df-bounded, so a stop-word-grade term yields a
-        corpus-sized array.  For bulk per-doc processing prefer the
-        postings_nopos view (stays relational); gate hot terms with a
-        df filter first (term_stats carries df)."""
+        ONE array row — df-bounded, so a stop-word-grade term would
+        yield a corpus-sized array.  The `max_df` guard ENFORCES the
+        bound (the active-guard pattern of dedup's max_shingle_df /
+        max_bucket_size): terms hotter than max_df keep their stats row
+        but carry doc_ids = NULL instead of a row-sized array; pass
+        max_df=None to opt out explicitly.  For bulk per-doc processing
+        prefer the postings_nopos view (stays relational)."""
         t = self.term_stats()
         if field is not None:
             t = t.where(F.col("field") == field)
@@ -659,10 +663,18 @@ class SegmentedIndex:
             p = self.postings_nopos
             if field is not None:
                 p = p.where(F.col("field") == field)
-            t = t.join(
-                p.groupBy("field", "term")
-                .agg(F.collect_list("doc_id").alias("doc_ids")),
-                ["field", "term"], "left")
+            if max_df is not None:
+                # the guard lands BELOW the collect_list: hot terms'
+                # postings are filtered out before any array builds, so
+                # the stats row survives with doc_ids = NULL and no
+                # corpus-sized array ever materializes
+                cool = (self.term_stats()
+                        .where(F.col("df") <= F.lit(int(max_df)))
+                        .select("field", "term"))
+                p = p.join(cool, ["field", "term"], "left_semi")
+            gathered = (p.groupBy("field", "term")
+                        .agg(F.collect_list("doc_id").alias("doc_ids")))
+            t = t.join(gathered, ["field", "term"], "left")
         if numeric:
             # try_cast: non-numeric terms yield NULL under ANSI mode
             t = t.withColumn("term_num", F.expr("try_cast(term AS BIGINT)"))

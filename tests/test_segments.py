@@ -487,3 +487,25 @@ def test_term_vector_enumerator_empty_vector(spark):
     # doc_ids filter restricts the walk
     only = seg.term_vector_enumerator(doc_ids=[by_path["c"]]).collect()
     assert [r["doc_id"] for r in only] == [by_path["c"]]
+
+
+def test_enumerate_terms_max_df_guard(spark, segidx):
+    """The 100 TB hazard is enforced, not just documented (r4 VERDICT
+    watch #2): a stop-word-grade term's doc list is suppressed (NULL,
+    stats row kept) under the default guard; max_df=None opts out."""
+    from pyspark.sql import functions as F
+
+    hot = (segidx.term_stats().where(F.col("field") == "content")
+           .orderBy(F.desc("df")).limit(1).collect()[0])
+    cap = int(hot["df"]) - 1
+    assert cap >= 1
+    out = {r["term"]: r["doc_ids"] for r in
+           segidx.enumerate_terms(field="content", include_docs=True,
+                                  max_df=cap).collect()}
+    assert out[hot["term"]] is None          # hot term: stats, no array
+    cool = [t for t, d in out.items() if d is not None]
+    assert cool                               # cool terms keep doc lists
+    ungated = {r["term"]: r["doc_ids"] for r in
+               segidx.enumerate_terms(field="content", include_docs=True,
+                                      max_df=None).collect()}
+    assert len(ungated[hot["term"]]) == hot["df"]
