@@ -40,6 +40,63 @@ def lookup(word: str, syn_map: dict[str, tuple[str, ...]]) -> tuple[str, ...]:
     return tuple(syn_map.get(word, ()))
 
 
+def _is_decent(s: str) -> bool:
+    """Syns2Index.IsDecent (Syns2Index.cs:190-205): letters only — no
+    spaces, digits, hyphens or apostrophes."""
+    return bool(s) and all(c.isalpha() for c in s)
+
+
+def parse_wn_prolog(lines) -> dict[str, tuple[str, ...]]:
+    """Syns2Index's wn_s.pl ingestion (Syns2Index.cs:123-179,251-283)
+    as a map builder: parse the WordNet prolog synset file into the
+    word -> synonyms dict that `expand`/`lookup`/`synonym_analyzer`
+    consume.
+
+    Mirrors the reference line parser literally: every line must start
+    with ``s(``; the synset number is the text up to the first comma;
+    the word is the text between the first pair of single quotes
+    (doubled-quote escapes are handled the way the reference handles
+    them — the scan stops at the first closing quote, so a word
+    containing ``''`` truncates there, exactly as Substring/IndexOf do),
+    lowercased; words that are not all-letters are rejected (ndecent).
+    A word's synonyms are the union of the words of every synset it
+    appears in, minus itself, letters-only, SORTED (the reference's
+    SortedList walk); words with zero surviving synonyms are omitted
+    (``if (n > 0)``, :235)."""
+    word2nums: dict[str, list[str]] = {}
+    num2words: dict[str, list[str]] = {}
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        if not line.startswith("s("):
+            raise ValueError(f"OUCH: {line}")
+        body = line[2:]
+        num = body[:body.index(",")]
+        q1 = body.index("'")
+        rest = body[q1 + 1:]
+        q2 = rest.index("'")
+        word = rest[:q2].lower().replace("''", "'")
+        if not _is_decent(word):
+            continue
+        word2nums.setdefault(word, []).append(num)
+        num2words.setdefault(num, []).append(word)
+    out: dict[str, tuple[str, ...]] = {}
+    for word, nums in word2nums.items():
+        syns = {w for n in nums for w in num2words[n]}
+        syns.discard(word)
+        syn_list = sorted(w for w in syns if _is_decent(w))
+        if syn_list:
+            out[word] = tuple(syn_list)
+    return out
+
+
+def load_wn_prolog(path: str) -> dict[str, tuple[str, ...]]:
+    """File form of parse_wn_prolog (the Syns2Index CLI contract)."""
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        return parse_wn_prolog(fh)
+
+
 def expand(query_text: str, syn_map: dict[str, tuple[str, ...]],
            field: str = ast.DEFAULT_FIELD, boost: float = 0.9) -> ast.Query:
     """SynExpand.Expand: flat SHOULD bool of query words (query-analyzed,

@@ -9,8 +9,11 @@ discipline).  Shared CTE prefix = the whole index build expressed in SQL.
 
 from __future__ import annotations
 
-from ..analysis.tokenizers import ENGLISH_STOP_WORDS, STANDARD_ALTERNATION
-from ..functions.textstats import LANG_MARKERS
+# Oracle-side transcriptions ONLY — sqlgen imports nothing from the
+# engine packages (lucenenet_spark.analysis/functions/operators), so a
+# typo in an engine table cannot silently pass both sides.  The copies
+# are pinned equal by tests/test_oracle_drift.py.
+from .tables import ENGLISH_STOP_WORDS, LANG_MARKERS, STANDARD_ALTERNATION
 
 STOPLIST_SQL = ",".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 K1, B = 1.2, 0.75
@@ -58,8 +61,10 @@ def _porter2_ctes() -> str:
     """Vocabulary-level Porter2 as chained CTEs ending in
     stemmap(term, stem) — the exact step sequence of
     analysis/snowball.porter2_stem (EnglishStemmer.cs among tables)."""
-    from ..analysis.snowball import (
-        _DOUBLES, _EXC1, _EXC2, _STEP2, _STEP3, _STEP4, _VALID_LI)
+    from .tables import (
+        SB_DOUBLES as _DOUBLES, SB_EXC1 as _EXC1, SB_EXC2 as _EXC2,
+        SB_STEP2 as _STEP2, SB_STEP3 as _STEP3, SB_STEP4 as _STEP4,
+        SB_VALID_LI as _VALID_LI)
 
     exc1 = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _EXC1.items())
     exc2 = ",".join(f"'{w}'" for w in sorted(_EXC2))
@@ -210,7 +215,7 @@ def _r2_de_sql(u: str) -> str:
 def _german_ctes() -> str:
     """German Snowball as chained CTEs (mirrors
     analysis/snowball.german_stem; GermanStemmer.cs among tables)."""
-    from ..analysis.snowball import _S_ENDING, _ST_ENDING
+    from .tables import SB_S_ENDING as _S_ENDING, SB_ST_ENDING as _ST_ENDING
     s_end = ",".join(repr(c) for c in sorted(_S_ENDING))
     st_end = ",".join(repr(c) for c in sorted(_ST_ENDING))
     gv = "aeiouyäöü"
@@ -325,7 +330,7 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
     if stemmer == "english":
         stem_ctes = "," + _porter2_ctes()
     elif stemmer == "german":
-        from ..analysis.snowball import GERMAN_STOP_WORDS
+        from .tables import GERMAN_STOP_WORDS
         stop_sql = ",".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
         stem_ctes = "," + _german_ctes()
     if auto_stop_pct is not None:
@@ -996,7 +1001,7 @@ def numbertools_range(column: str, lo: int, hi: int, k: int = 10,
     the ORACLE re-runs the encoding in SQL (prefix '0' + 13-digit base-36,
     non-negative inputs) and compares STRINGS, exercising the
     lexicographic-order contract end-to-end."""
-    from ..functions.numbertools import long_to_string
+    from .tables import long_to_string
     enc = f"concat('0', lpad(lower(to_base({column}, 36)), 13, '0'))"
     return f"""SELECT doc_id, {boost}::DOUBLE AS score
 FROM {table}
@@ -1211,7 +1216,7 @@ FROM inter WHERE round(i::DOUBLE/(na + nb - i), 6) >= {threshold}"""
 def minhash_lsh_pairs(num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5, table: str = "documents",
                       max_bucket_size: int | None = None) -> str:
-    from ..operators.dedup import M30, MH_PRIME, mh_consts
+    from .tables import M30, MH_PRIME, mh_consts
 
     rows = num_hashes // bands
     consts = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
@@ -1878,7 +1883,7 @@ def suggest_similar(word: str, num_sug: int = 5, min_score: float = 0.5,
     sizes from the reference length rule), reranked by
     1 - levenshtein/max(len), accuracy cut at min_score, ties df DESC
     then term ASC."""
-    from ..operators.spell import word_grams
+    from .tables import word_grams
     cond = " OR ".join(f"position('{g}' IN term) > 0"
                        for g in word_grams(word))
     return f"""WITH {base_ctes(table)},
@@ -2030,7 +2035,7 @@ def fuzzy_like_this(text: str, k: int = 10, min_sim: float = 0.5,
     resolution (exact else integer-avg), sim² × classic-idf rescore,
     global top-N by (score DESC, term), then BM25 hit scoring with the
     selection boosts folded in."""
-    from ..analysis.tokenizers import tokenize_standard
+    from .tables import tokenize_standard
     src: list[str] = []
     for t, _ in tokenize_standard(text):
         if t not in src:
@@ -2290,7 +2295,7 @@ def _russian_ctes() -> str:
     from the SAME ending tables so the two sides cannot drift.  The
     Python port is validated against the reference's own 49,673-pair
     golden corpus (test/contrib/Analyzers/Ru/{words,stems}UTF8.txt)."""
-    from ..analysis import intl as I
+    from . import tables as I
 
     V = _RU_V
     mark = f"'^[^{V}]*[{V}]+[^{V}]'"
@@ -2388,7 +2393,7 @@ def russian_term_query(term: str, k: int = 10,
     tokenizer accepts them), stop-filter with RUSSIAN_STOP_WORDS, stem
     through the _russian_ctes stemmap, BM25.  `term` must already be
     the stemmed query term, as in the engine."""
-    from ..analysis.intl import RUSSIAN_STOP_WORDS
+    from .tables import RUSSIAN_STOP_WORDS
     stops = ",".join(f"'{w}'" for w in sorted(RUSSIAN_STOP_WORDS))
     return f"""WITH
 {_xlit_tk(table, RU_LAT26, RU_CYR26)},
@@ -2406,7 +2411,7 @@ def greek_term_query(term: str, k: int = 10,
     transliterate, apply the GreekLowerCaseFilter normalization pairs
     reachable through the alphabet (final sigma + tonos vowels), then
     the Greek stop set.  No StandardFilter in this chain."""
-    from ..analysis.intl import GREEK_STOP_WORDS
+    from .tables import GREEK_STOP_WORDS
     stops = ",".join(f"'{w}'" for w in sorted(GREEK_STOP_WORDS))
     return f"""WITH
 {_xlit_tk(table, EL_LAT36, EL_GRK36)},
@@ -2425,7 +2430,7 @@ def _arabic_stem_ctes() -> str:
     order strips when len >= suflen + 2 — generated from the
     analysis/intl tables.  Stage-per-suffix keeps the expression tree
     linear (a single folded CASE would inline exponentially)."""
-    from ..analysis import intl as I
+    from . import tables as I
 
     whens = []
     for p in I._AR_PREFIXES:
@@ -2453,7 +2458,7 @@ def arabic_term_query(term: str, k: int = 10,
     then normalize (translate deletes harakat/tatweel), drop
     fully-deleted tokens (the documented deviation), then stem via a
     vocabulary-level map.  `term` must already be normalized+stemmed."""
-    from ..analysis.intl import ARABIC_STOP_WORDS
+    from .tables import ARABIC_STOP_WORDS
     stops = ",".join(f"'{w}'" for w in sorted(ARABIC_STOP_WORDS))
     return f"""WITH
 {_xlit_tk(table, AR_LAT36, AR_TGT36)},
@@ -2474,7 +2479,7 @@ def czech_term_query(term: str, k: int = 10,
     """analysis/intl.czech_analyzer twin (CzechAnalyzer.cs:125-132):
     the standard chain with the Czech stop set — on the ASCII corpus
     the Unicode ALPHANUM branch tokenizes identically to base_ctes."""
-    from ..analysis.intl import CZECH_STOP_WORDS
+    from .tables import CZECH_STOP_WORDS
     return f"""WITH {base_ctes(table, stop_words=CZECH_STOP_WORDS)}
 SELECT p.doc_id, round({_bm25()}, 6) AS score
 FROM post p JOIN dfs f USING (term) CROSS JOIN st
