@@ -203,16 +203,39 @@ def _compile(q: ast.Query, toks: Column) -> Column:
 
 
 def percolate(docs: DataFrame, queries: dict[str, ast.Query],
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+              text_col: str = "text", id_col: str = "doc_id",
+              chunk_size: int = 1024) -> DataFrame:
     """One map-only pass matching every registered query against every
     document.  Returns (id_col, query_id) rows; a doc matching nothing
     emits nothing.  Works identically on a static frame and on a
     readStream micro-batch (pure narrow projection — the streaming
-    percolator is `stream.transform(lambda df: percolate(df, qs))`)."""
+    percolator is `stream.transform(lambda df: percolate(df, qs))`).
+
+    K-scaling: all K compiled conditions used to fuse into ONE Project,
+    which is optimal at K <= ~10^3 but grows the Catalyst expression
+    tree linearly — K ~= 10^5 alert rules would blow plan
+    analysis/codegen.  Past `chunk_size` queries, the query set is
+    chunked into bounded-width projections over ONE eagerly
+    localCheckpoint-ed tokenization (lineage cut, so every union branch
+    reads the materialized token blocks instead of re-tokenizing, and
+    the blocks are GC-freed with the DataFrame — no cache leak).  Each
+    Project stays <= chunk_size conditions wide; total work is still one
+    tokenization + K condition evaluations per doc, now in K/chunk_size
+    codegen-friendly stages.  (localCheckpoint needs a BATCH frame — on
+    a readStream source past chunk_size, percolate inside foreachBatch,
+    which is the NRT pattern streaming/nrt.py already uses.)"""
     compiled = [(qid, _compile(ast.rewrite(q), F.col(_TOK)))
                 for qid, q in sorted(queries.items())]
-    arr = F.array_compact(
-        F.array(*[F.when(cond, F.lit(qid)) for qid, cond in compiled]))
-    return (docs
-            .withColumn(_TOK, standard_tokens(F.col(text_col)))
-            .select(F.col(id_col), F.explode(arr).alias("query_id")))
+
+    def fused(frame: DataFrame, chunk) -> DataFrame:
+        arr = F.array_compact(
+            F.array(*[F.when(cond, F.lit(qid)) for qid, cond in chunk]))
+        return frame.select(F.col(id_col), F.explode(arr).alias("query_id"))
+
+    toked = docs.withColumn(_TOK, standard_tokens(F.col(text_col)))
+    if len(compiled) <= chunk_size:
+        return fused(toked, compiled)
+    toked = toked.localCheckpoint(eager=True)
+    parts = [fused(toked, compiled[i:i + chunk_size])
+             for i in range(0, len(compiled), chunk_size)]
+    return reduce(DataFrame.unionByName, parts)
