@@ -310,31 +310,109 @@ def sq8_encode(emb: DataFrame, mins: list[float], maxs: list[float],
     return emb.select(F.col(id_col), codes.alias(code_col))
 
 
-def sq8_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-             params: tuple[list[float], list[float]] | None = None,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             exclude_id: int | None = None) -> DataFrame:
-    """Top-k cosine against the RECONSTRUCTED (quantized) vectors — the
-    asymmetric-distance convention: the query stays full-precision, the
-    database side pays the compression.  Plan shape = encode + decode as
-    column algebra over one scan, then the same TakeOrderedAndProject
-    top-k as the exact path; no shuffle beyond it."""
+def sq8_codes_table(emb: DataFrame,
+                    params: tuple[list[float], list[float]] | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> tuple[tuple[list[float], list[float]], DataFrame]:
+    """The at-rest SQ8 artifact: (params, codes) where codes is the
+    (vec_id, codes: array<int>) table — encode ONCE, persist, query many
+    times (the `rp_bucket_table` pattern).  At 100 TB the codes table IS
+    the point of SQ8: 32x smaller than the float32 embeddings, so it
+    fits executor memory / fast storage while the raw vectors stay cold;
+    the params (2*dim floats) live next to it as metadata.  Neither the
+    2*dim full-corpus agg (params) nor the encode pass ever re-runs on
+    the query path."""
     if params is None:
         params = sq8_params(emb, vec_col)
+    return params, sq8_encode(emb, params[0], params[1], id_col, vec_col)
+
+
+def _sq8_rank(codes: DataFrame, params: tuple[list[float], list[float]],
+              query_vec: list[float], k: int,
+              exclude_id: int | None, code_col: str = "codes") -> DataFrame:
+    """Asymmetric-distance top-k over a codes frame: full-precision
+    query vs reconstructed database vectors, column algebra + the same
+    TakeOrderedAndProject as the exact path."""
     mins, maxs = params
-    codes = sq8_encode(emb, mins, maxs, id_col, vec_col)
     mn = F.array(*[F.lit(float(v)) for v in mins])
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     # reconstruction: x'_i = mn_i + c_i * span_i / 255
     steps = F.array(*[F.lit((float(b) - float(a)) / 255.0)
                       for a, b in zip(mins, maxs)])
     xr = F.zip_with(
-        F.zip_with(F.col("codes"), steps,
+        F.zip_with(F.col(code_col), steps,
                    lambda c, st: c.cast("double") * st),
         mn, lambda v, m: v + m)
     cos = _dot(xr, q) / (_norm(xr) * _norm(q))
-    out = codes.select(F.col(id_col).alias("vec_id"),
+    out = codes.select(F.col("vec_id"),
                        F.round(cos, ROUND).alias("cosine"))
     if exclude_id is not None:
         out = out.where(F.col("vec_id") != exclude_id)
     return out.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def sq8_topk(emb: DataFrame | None, query_vec: list[float], k: int = 10,
+             params: tuple[list[float], list[float]] | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_id: int | None = None,
+             codes: DataFrame | None = None) -> DataFrame:
+    """Top-k cosine against the RECONSTRUCTED (quantized) vectors — the
+    asymmetric-distance convention: the query stays full-precision, the
+    database side pays the compression.
+
+    Pass `codes` (+ `params`) from sq8_codes_table to query the
+    persisted at-rest artifact — nothing corpus-wide recomputes per
+    query.  Without `codes` the encode runs in-plan over `emb` (one
+    scan; sandbox convenience)."""
+    if codes is not None:
+        if params is None:
+            raise ValueError(
+                "sq8_topk: a persisted codes table needs its params — "
+                "re-deriving them would rescan the full corpus per query")
+        return _sq8_rank(codes, params, query_vec, k, exclude_id)
+    if params is None:
+        params = sq8_params(emb, vec_col)
+    codes = sq8_encode(emb, params[0], params[1], id_col, vec_col)
+    return _sq8_rank(codes, params, query_vec, k, exclude_id)
+
+
+def ivf_sq8_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 nlist: int = 16, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_id: int | None = None,
+                 assigned: DataFrame | None = None,
+                 codes: DataFrame | None = None,
+                 params: tuple[list[float], list[float]] | None = None
+                 ) -> DataFrame:
+    """IVF coarse probe x SQ8 fine scoring — the memory-bound ANN shape
+    at 100 TB: the cell-partitioned assignment table prunes the search
+    to nprobe cells, and the surviving candidates are scored against the
+    uint8 codes table (32x at rest) with a full-precision query —
+    asymmetric distance, never touching the raw float vectors on the
+    query path.  Probe selection (full-precision centroid cosines, ties
+    to lower cid) and the assignment argmax are exactly ivf_topk's.
+
+    At scale, `assigned` (partitioned BY cell), `codes`, and `params`
+    are precomputed artifacts; the sandbox default derives them in-plan
+    from `emb`."""
+    if assigned is None:
+        assigned = ivf_assign(emb, nlist, id_col, vec_col)
+    if codes is None:
+        params, codes = sq8_codes_table(emb, params, id_col, vec_col)
+    elif params is None:
+        raise ValueError("ivf_sq8_topk: codes table needs its params")
+    cents = {
+        r["cid"]: [float(x) for x in r["cv"]]
+        for r in ivf_centroids(emb, nlist, id_col, vec_col).collect()
+    }
+    qn = sum(x * x for x in query_vec) ** 0.5
+
+    def cos_to_q(cv):
+        cn = sum(c * c for c in cv) ** 0.5
+        return round(sum(float(a) * c for a, c in zip(query_vec, cv))
+                     / (qn * cn), ROUND)
+
+    probe = sorted(cents, key=lambda cid: (-cos_to_q(cents[cid]), cid))[:nprobe]
+    cand = assigned.where(F.col("cell").isin(probe)).select("vec_id")
+    return _sq8_rank(codes.join(cand, "vec_id"), params, query_vec,
+                     k, exclude_id)

@@ -1346,6 +1346,65 @@ WHERE vec_id <> {query_id}
 ORDER BY cosine DESC, vec_id LIMIT {k}"""
 
 
+def ivf_sq8_topk(query_id: int = 0, k: int = 10, nlist: int = 16,
+                 nprobe: int = 4, dim: int = 64,
+                 table: str = "embeddings") -> str:
+    """IVF coarse probe x SQ8 fine scoring: probe set and assignment
+    argmax exactly as ivf_topk (full precision), then the surviving
+    candidates scored against the SQ8-reconstructed vectors exactly as
+    sq8_topk (asymmetric distance) — the oracle twin of
+    operators/ann.ivf_sq8_topk."""
+    return f"""WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM {table} WHERE vec_id < {nlist}
+),
+q AS (SELECT embedding AS qv FROM {table} WHERE vec_id = {query_id}),
+cosqc AS (
+  SELECT c.cid,
+         round(list_dot_product(c.cv::DOUBLE[], q.qv::DOUBLE[]) /
+               (sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos
+  FROM cent c CROSS JOIN q
+),
+probe AS (SELECT cid FROM cosqc ORDER BY cos DESC, cid LIMIT {nprobe}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[]) /
+                            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                             sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[]))), 6) DESC,
+                      c.cid
+           ) AS rn
+    FROM {table} e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dims AS (SELECT unnest(generate_series(1, {dim})) AS i),
+vals AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM {table} CROSS JOIN dims),
+stats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM vals GROUP BY i),
+cand AS (
+  SELECT v.vec_id, v.i, v.x FROM vals v
+  JOIN assign a USING (vec_id) JOIN probe p ON a.cid = p.cid
+),
+recon AS (
+  SELECT vec_id, c.i,
+         mn + (CASE WHEN mx = mn THEN 0
+                    ELSE floor((x - mn)/(mx - mn) * 255.0 + 0.5) END)
+              * (mx - mn) / 255.0 AS xr
+  FROM cand c JOIN stats s ON c.i = s.i),
+qd AS (SELECT i, embedding[i]::DOUBLE AS y
+       FROM {table} CROSS JOIN dims WHERE vec_id = {query_id}),
+d AS (
+  SELECT vec_id, sum(xr*y) AS dot, sqrt(sum(xr*xr)) AS nx,
+         sqrt(sum(y*y)) AS ny
+  FROM recon r JOIN qd ON r.i = qd.i GROUP BY vec_id)
+SELECT vec_id, round(dot/(nx*ny), 6) AS cosine FROM d
+WHERE vec_id <> {query_id}
+ORDER BY cosine DESC, vec_id LIMIT {k}"""
+
+
 def cosine_pairs(threshold: float = 0.99, table: str = "embeddings") -> str:
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= t)."""
     return f"""WITH pairs AS (

@@ -119,3 +119,65 @@ def test_sq8_codes_and_recall(spark):
                         exclude_id=0).collect()]
     overlap = len(set(exact) & set(sq8))
     assert overlap >= 8  # 8-bit quantization barely moves the ranking
+
+
+def test_sq8_persisted_codes_path(spark):
+    """The persisted codes-table path (sq8_codes_table + codes= query)
+    must return exactly the in-plan encode path, and require params
+    alongside codes (no hidden corpus rescan per query)."""
+    import numpy as np
+
+    from lucenenet_spark.operators import ann
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[3]]
+
+    inplan = [(r.vec_id, r.cosine)
+              for r in ann.sq8_topk(emb, q, k=8, exclude_id=3).collect()]
+    params, codes = ann.sq8_codes_table(emb)
+    codes = codes.cache()
+    persisted = [(r.vec_id, r.cosine)
+                 for r in ann.sq8_topk(None, q, k=8, exclude_id=3,
+                                       params=params,
+                                       codes=codes).collect()]
+    assert persisted == inplan
+    with pytest.raises(ValueError, match="params"):
+        ann.sq8_topk(None, q, codes=codes)
+
+
+def test_ivf_sq8_composition(spark):
+    """IVF x SQ8: the composed probe returns the SQ8 scores of exactly
+    the candidates ivf_topk would scan — i.e. it equals sq8-scoring
+    restricted to the probed cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucenenet_spark.operators import ann
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(240, 8)).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+
+    got = [(r.vec_id, r.cosine)
+           for r in ann.ivf_sq8_topk(emb, q, k=10, nlist=8, nprobe=3,
+                                     exclude_id=0).collect()]
+    # independent recomposition: candidates from the ivf assignment,
+    # scored with the plain SQ8 ranker
+    assigned = ann.ivf_assign(emb, nlist=8)
+    exact_ivf = ann.ivf_topk(emb, q, k=10**6, nlist=8, nprobe=3,
+                             exclude_id=0, assigned=assigned)
+    cand_ids = {r.vec_id for r in exact_ivf.collect()}
+    params, codes = ann.sq8_codes_table(emb)
+    full_sq8 = ann.sq8_topk(None, q, k=10**6, params=params, codes=codes,
+                            exclude_id=0).collect()
+    want = [(r.vec_id, r.cosine) for r in full_sq8
+            if r.vec_id in cand_ids][:10]
+    assert got == want
+    assert 0 < len(cand_ids) < 240  # the probe really pruned
