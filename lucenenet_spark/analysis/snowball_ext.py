@@ -1,0 +1,973 @@
+"""contrib Snowball breadth: Swedish, Dutch, Spanish, Portuguese,
+Italian, French (VERDICT r4 task #2).
+
+Each stemmer is pinned to the VARIANT the reference's generated code
+ships (src/contrib/Snowball/SF/Snowball/Ext/{Swedish,Dutch,Spanish,
+Portuguese,Italian,French}Stemmer.cs — 2002-era Snowball, which differs
+from the current published algorithms in places; e.g. the Portuguese
+table still carries the borrowed 'logía'/'ución' Spanish endings, and
+the French RV has no par/col/tap exception).  Every among table below
+is transcribed from the generated Among[] initializers; the control
+flow mirrors each generated routine's setlimit/try/or structure:
+
+- "pattern (a)" (setlimit tomark pV/p1 for [substring]): the among only
+  considers suffixes lying ENTIRELY within the region, so a longest
+  suffix poking out of the region falls through to a shorter one —
+  `_longest_within`.
+- "pattern (b)" ([substring] among(... (R2 delete))): longest match
+  anywhere; a failed region test means NO action and NO fallthrough —
+  `_longest`.
+
+The DuckDB SQL mirrors live in oracle/sqlgen.py (vocabulary-level CTE
+chains generated from the SAME transcribed tables' oracle copies).
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------- helpers
+
+
+def _longest(w: str, table) -> tuple[str, int] | None:
+    """Longest suffix of w among table [(suffix, code)] — pattern (b)."""
+    best = None
+    for suf, code in table:
+        if w.endswith(suf) and (best is None or len(suf) > len(best[0])):
+            best = (suf, code)
+    return best
+
+
+def _longest_within(w: str, table, start: int) -> tuple[str, int] | None:
+    """Longest suffix lying entirely within w[start:] — pattern (a)."""
+    best = None
+    for suf, code in table:
+        if (w.endswith(suf) and len(w) - len(suf) >= start
+                and (best is None or len(suf) > len(best[0]))):
+            best = (suf, code)
+    return best
+
+
+def _r1_std(w: str, vowels: str) -> int:
+    """Position after the first non-vowel following a vowel; len(w) if
+    there is no such non-vowel."""
+    for i in range(len(w) - 1):
+        if w[i] in vowels and w[i + 1] not in vowels:
+            return i + 2
+    return len(w)
+
+
+def _r2_from(w: str, vowels: str, r1: int) -> int:
+    for i in range(r1, len(w) - 1):
+        if w[i] in vowels and w[i + 1] not in vowels:
+            return i + 2
+    return len(w)
+
+
+def _rv_romance(w: str, vowels: str) -> int:
+    """The Spanish/Portuguese/Italian RV: second letter consonant ->
+    after the next following vowel; first two letters vowels -> after
+    the next consonant; consonant-vowel start -> after the third
+    letter; else end of word."""
+    n = len(w)
+    if n < 2:
+        return n
+    if w[0] in vowels:
+        if w[1] not in vowels:
+            for i in range(2, n):
+                if w[i] in vowels:
+                    return i + 1
+            return n
+        for i in range(2, n):
+            if w[i] not in vowels:
+                return i + 1
+        return n
+    if w[1] in vowels:
+        return min(3, n)
+    for i in range(2, n):
+        if w[i] in vowels:
+            return i + 1
+    return n
+
+
+def _rv_french(w: str, vowels: str) -> int:
+    """French RV (2002 variant, no par/col/tap exception): two leading
+    vowels -> position 3; else after the first vowel at index >= 1."""
+    n = len(w)
+    if n >= 3 and w[0] in vowels and w[1] in vowels:
+        return 3
+    for i in range(1, n):
+        if w[i] in vowels:
+            return i + 1
+    return n
+
+
+def _r1_min3(w: str, vowels: str) -> int:
+    """R1 with the Scandinavian/Dutch min-3 adjustment: the try(p1<3 ->
+    p1=3) only runs when setmark actually fired (a vowel followed by a
+    non-vowel exists); otherwise p1 stays at limit."""
+    found = any(w[i] in vowels and w[i + 1] not in vowels
+                for i in range(len(w) - 1))
+    return max(_r1_std(w, vowels), 3) if found else len(w)
+
+
+# --------------------------------------------------------------- Swedish
+# SwedishStemmer.cs: R1 (min 3), main_suffix within R1 (pattern a),
+# consonant_pair within R1, other_suffix within R1.
+
+SV_VOWELS = "aeiouyäåö"
+SV_S_ENDING = frozenset("bcdfghjklmnoprtvy")
+SV_MAIN = [
+    ("a", 1), ("arna", 1), ("erna", 1), ("heterna", 1), ("orna", 1),
+    ("ad", 1), ("e", 1), ("ade", 1), ("ande", 1), ("arne", 1),
+    ("are", 1), ("aste", 1), ("en", 1), ("anden", 1), ("aren", 1),
+    ("heten", 1), ("ern", 1), ("ar", 1), ("er", 1), ("heter", 1),
+    ("or", 1), ("s", 2), ("as", 1), ("arnas", 1), ("ernas", 1),
+    ("ornas", 1), ("es", 1), ("ades", 1), ("andes", 1), ("ens", 1),
+    ("arens", 1), ("hetens", 1), ("erns", 1), ("at", 1), ("andet", 1),
+    ("het", 1), ("ast", 1),
+]
+SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+SV_OTHER = [("ig", 1), ("lig", 1), ("els", 1), ("fullt", 3),
+            ("löst", 2)]
+
+
+def swedish_stem(word: str) -> str:
+    w = word
+    r1 = _r1_min3(w, SV_VOWELS)
+    # main_suffix (within R1)
+    hit = _longest_within(w, SV_MAIN, r1)
+    if hit:
+        suf, code = hit
+        if code == 1:
+            w = w[:-len(suf)]
+        elif len(w) >= 2 and w[-2] in SV_S_ENDING:
+            w = w[:-1]
+    # consonant_pair (pair within R1 -> drop last letter)
+    if len(w) - 2 >= r1 and w[-2:] in SV_PAIRS:
+        w = w[:-1]
+    # other_suffix (within R1)
+    hit = _longest_within(w, SV_OTHER, r1)
+    if hit:
+        suf, code = hit
+        if code == 1:
+            w = w[:-len(suf)]
+        elif code == 2:
+            w = w[:-len(suf)] + "lös"
+        else:
+            w = w[:-len(suf)] + "full"
+    return w
+
+
+# ---------------------------------------------------------------- Dutch
+# DutchStemmer.cs: accent fold, y/i marking, R1 (min 3)/R2,
+# standard_suffix (5 nested stages), postlude.
+
+NL_VOWELS = "aeiouyè"
+NL_ACCENTS = {"á": "a", "ä": "a", "é": "e", "ë": "e",
+              "í": "i", "ï": "i", "ó": "o", "ö": "o",
+              "ú": "u", "ü": "u"}
+NL_STEP1 = [("ene", 2), ("se", 3), ("en", 2), ("heden", 1), ("s", 3)]
+NL_D_SUFFIX = [("end", 1), ("ig", 2), ("ing", 1), ("lijk", 3),
+               ("baar", 4), ("bar", 5)]
+
+
+def _nl_prelude(w: str) -> str:
+    w = "".join(NL_ACCENTS.get(c, c) for c in w)
+    out = list(w)
+    if out and out[0] == "y":
+        out[0] = "Y"
+    for i in range(1, len(out)):
+        if out[i - 1] in NL_VOWELS:
+            if (out[i] == "i" and i + 1 < len(out)
+                    and out[i + 1] in NL_VOWELS):
+                out[i] = "I"
+            elif out[i] == "y":
+                out[i] = "Y"
+    return "".join(out)
+
+
+def _nl_undouble(w: str) -> str:
+    if w.endswith(("kk", "dd", "tt")):
+        return w[:-1]
+    return w
+
+
+def dutch_stem(word: str) -> str:
+    w = _nl_prelude(word)
+    r1 = _r1_min3(w, NL_VOWELS)
+    r2 = _r2_from(w, NL_VOWELS, _r1_std(w, NL_VOWELS))
+
+    def en_ending(u: str, n: int) -> str:
+        """Delete the n-char en/ene suffix if its start is in R1,
+        preceded by a non-vowel, and not by 'gem'; then undouble."""
+        p = len(u) - n
+        if p >= r1 and p >= 1 and u[p - 1] not in NL_VOWELS \
+                and u[:p][-3:] != "gem":
+            return _nl_undouble(u[:p])
+        return u
+
+    e_found = False
+    # stage 1: heden/ene/en/se/s (longest match, pattern b)
+    hit = _longest(w, NL_STEP1)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1:
+            if p >= r1:
+                w = w[:p] + "heid"
+        elif code == 2:
+            w = en_ending(w, len(suf))
+        else:  # s/se: R1 + preceded by non-vowel other than j
+            if p >= r1 and p >= 1 and w[p - 1] not in NL_VOWELS + "j":
+                w = w[:p]
+    # stage 2: e_ending
+    if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] not in NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_found = True
+    # stage 3: heid (R2, not preceded by c) then a following en
+    if w.endswith("heid") and len(w) - 4 >= r2 \
+            and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en"):
+            w = en_ending(w, 2)
+    # stage 4: d-suffixes
+    hit = _longest(w, NL_D_SUFFIX)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1 and p >= r2:  # end/ing
+            w = w[:p]
+            if w.endswith("ig") and len(w) - 2 >= r2 \
+                    and (len(w) < 3 or w[-3] != "e"):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+        elif code == 2 and p >= r2 and (p < 1 or w[p - 1] != "e"):  # ig
+            w = w[:p]
+        elif code == 3 and p >= r2:  # lijk
+            w = w[:p]
+            if w.endswith("e") and len(w) - 1 >= r1 and len(w) >= 2 \
+                    and w[-2] not in NL_VOWELS:
+                w = _nl_undouble(w[:-1])
+                e_found = True
+        elif code == 4 and p >= r2:  # baar
+            w = w[:p]
+        elif code == 5 and p >= r2 and e_found:  # bar
+            w = w[:p]
+    # stage 5: undouble vowel — C V V D, D non-vowel and not I,
+    # V in {aa,ee,oo,uu}, C non-vowel
+    if (len(w) >= 4 and w[-1] not in NL_VOWELS + "I"
+            and w[-3:-1] in ("aa", "ee", "oo", "uu")
+            and w[-4] not in NL_VOWELS):
+        w = w[:-2] + w[-1]
+    # postlude
+    return w.replace("Y", "y").replace("I", "i")
+
+
+# -------------------------------------------------------------- Spanish
+# SpanishStemmer.cs: RV/R1/R2, attached_pronoun, (standard | y_verb |
+# verb), residual, postlude (strip acute accents).
+
+ES_VOWELS = "aeiouáéíóúü"
+ES_PRON = ["la", "sela", "le", "me", "se", "lo", "selo", "las", "selas",
+           "les", "los", "selos", "nos"]
+ES_PRE_MARK = [
+    ("ando", 6), ("iendo", 6), ("yendo", 7), ("ándo", 2),
+    ("iéndo", 1), ("ar", 6), ("er", 6), ("ir", 6),
+    ("ár", 3), ("ér", 4), ("ír", 5),
+]
+ES_MARK_REPL = {1: "iendo", 2: "ando", 3: "ar", 4: "er", 5: "ir"}
+ES_STD = [
+    ("ica", 1), ("encia", 5), ("adora", 2), ("osa", 1), ("ista", 1),
+    ("iva", 9), ("anza", 1), ("logía", 3), ("idad", 8),
+    ("able", 1), ("ible", 1), ("mente", 7), ("amente", 6),
+    ("ación", 2), ("ución", 4), ("ico", 1), ("ismo", 1),
+    ("oso", 1), ("amiento", 1), ("imiento", 1), ("ivo", 9),
+    ("ador", 2), ("icas", 1), ("encias", 5), ("adoras", 2),
+    ("osas", 1), ("istas", 1), ("ivas", 9), ("anzas", 1),
+    ("logías", 3), ("idades", 8), ("ables", 1), ("ibles", 1),
+    ("aciones", 2), ("uciones", 4), ("adores", 2), ("icos", 1),
+    ("ismos", 1), ("osos", 1), ("amientos", 1), ("imientos", 1),
+    ("ivos", 9),
+]
+ES_A3 = [("ic", 0), ("ad", 0), ("os", 0), ("iv", 1)]
+ES_A4 = [("able", 1), ("ible", 1)]
+ES_A5 = [("ic", 1), ("abil", 1), ("iv", 1)]
+ES_Y_VERB = [("ya", 1), ("ye", 1), ("yan", 1), ("yen", 1), ("yeron", 1),
+             ("yendo", 1), ("yo", 1), ("yas", 1), ("yes", 1),
+             ("yais", 1), ("yamos", 1), ("yó", 1)]
+ES_VERB = [
+    ("aba", 2), ("ada", 2), ("ida", 2), ("ara", 2), ("iera", 2),
+    ("ía", 2), ("aría", 2), ("ería", 2),
+    ("iría", 2), ("ad", 2), ("ed", 2), ("id", 2), ("ase", 2),
+    ("iese", 2), ("aste", 2), ("iste", 2), ("an", 2), ("aban", 2),
+    ("aran", 2), ("ieran", 2), ("ían", 2), ("arían", 2),
+    ("erían", 2), ("irían", 2), ("en", 1), ("asen", 2),
+    ("iesen", 2), ("aron", 2), ("ieron", 2), ("arán", 2),
+    ("erán", 2), ("irán", 2), ("ado", 2), ("ido", 2),
+    ("ando", 2), ("iendo", 2), ("ar", 2), ("er", 2), ("ir", 2),
+    ("as", 2), ("abas", 2), ("adas", 2), ("idas", 2), ("aras", 2),
+    ("ieras", 2), ("ías", 2), ("arías", 2),
+    ("erías", 2), ("irías", 2), ("es", 1), ("ases", 2),
+    ("ieses", 2), ("abais", 2), ("arais", 2), ("ierais", 2),
+    ("íais", 2), ("aríais", 2), ("eríais", 2),
+    ("iríais", 2), ("aseis", 2), ("ieseis", 2), ("asteis", 2),
+    ("isteis", 2), ("áis", 2), ("éis", 1),
+    ("aréis", 2), ("eréis", 2), ("iréis", 2),
+    ("ados", 2), ("idos", 2), ("amos", 2), ("ábamos", 2),
+    ("áramos", 2), ("iéramos", 2), ("íamos", 2),
+    ("aríamos", 2), ("eríamos", 2), ("iríamos", 2),
+    ("emos", 1), ("aremos", 2), ("eremos", 2), ("iremos", 2),
+    ("ásemos", 2), ("iésemos", 2), ("imos", 2),
+    ("arás", 2), ("erás", 2), ("irás", 2),
+    ("ís", 2), ("ará", 2), ("erá", 2),
+    ("irá", 2), ("aré", 2), ("eré", 2),
+    ("iré", 2), ("ió", 2),
+]
+ES_RESIDUAL = [("a", 1), ("e", 2), ("o", 1), ("os", 1), ("á", 1),
+               ("é", 2), ("í", 1), ("ó", 1)]
+ES_POST = {"á": "a", "é": "e", "í": "i",
+           "ó": "o", "ú": "u"}
+
+
+def spanish_stem(word: str) -> str:
+    w = word
+    rv = _rv_romance(w, ES_VOWELS)
+    r1 = _r1_std(w, ES_VOWELS)
+    r2 = _r2_from(w, ES_VOWELS, r1)
+
+    # attached pronoun (pattern b: longest pronoun, longest marker,
+    # marker start must be in RV)
+    pron = _longest(w, [(p, 0) for p in ES_PRON])
+    if pron:
+        pw = w[:len(w) - len(pron[0])]
+        mark = _longest(pw, ES_PRE_MARK)
+        if mark and len(pw) - len(mark[0]) >= rv:
+            suf, code = mark
+            if code in ES_MARK_REPL:  # accented: replace marker+pronoun
+                w = pw[:-len(suf)] + ES_MARK_REPL[code]
+            elif code == 6:  # unaccented: drop pronoun
+                w = pw
+            elif code == 7 and pw.endswith("yendo") and \
+                    pw[:-5].endswith("u"):
+                w = pw
+
+    changed = False
+    # standard suffix (pattern b)
+    hit = _longest(w, ES_STD)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1 and p >= r2:
+            w, changed = w[:p], True
+        elif code == 2 and p >= r2:
+            w, changed = w[:p], True
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif code == 3 and p >= r2:
+            w, changed = w[:p] + "log", True
+        elif code == 4 and p >= r2:
+            w, changed = w[:p] + "u", True
+        elif code == 5 and p >= r2:
+            w, changed = w[:p] + "ente", True
+        elif code == 6 and p >= r1:
+            w, changed = w[:p], True
+            sub = _longest(w, ES_A3)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+                if sub[1] == 1 and w.endswith("at") \
+                        and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif code == 7 and p >= r2:
+            w, changed = w[:p], True
+            sub = _longest(w, ES_A4)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+        elif code == 8 and p >= r2:
+            w, changed = w[:p], True
+            sub = _longest(w, ES_A5)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+        elif code == 9 and p >= r2:
+            w, changed = w[:p], True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+    if not changed:
+        # y_verb (pattern a within RV; preceding u unbounded)
+        hit = _longest_within(w, ES_Y_VERB, rv)
+        if hit and w[:len(w) - len(hit[0])].endswith("u"):
+            w, changed = w[:len(w) - len(hit[0])], True
+    if not changed:
+        # verb (pattern a within RV)
+        hit = _longest_within(w, ES_VERB, rv)
+        if hit:
+            suf, code = hit
+            p = len(w) - len(suf)
+            if code == 1 and w[:p].endswith("gu"):
+                w = w[:p - 1]  # drop the u of gu too (g stays)
+            else:
+                w = w[:p]
+    # residual (pattern b)
+    hit = _longest(w, ES_RESIDUAL)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if p >= rv:
+            w = w[:p]
+            if code == 2 and w.endswith("u") and len(w) - 1 >= rv \
+                    and w[:-1].endswith("g"):
+                w = w[:-1]
+    return "".join(ES_POST.get(c, c) for c in w)
+
+
+# ----------------------------------------------------------- Portuguese
+# PortugueseStemmer.cs (2002 variant: keeps the borrowed logía/ución
+# Spanish endings).  Prelude ã->a~, õ->o~; postlude back.
+
+PT_VOWELS = "aeiouáâéêíóôú"
+PT_STD = [
+    ("ica", 1), ("ância", 1), ("ência", 4), ("ira", 9),
+    ("adora", 1), ("osa", 1), ("ista", 1), ("iva", 8), ("eza", 1),
+    ("logía", 2), ("idade", 7), ("ante", 1), ("mente", 6),
+    ("amente", 5), ("ável", 1), ("ível", 1),
+    ("ución", 3), ("ico", 1), ("ismo", 1), ("oso", 1),
+    ("amento", 1), ("imento", 1), ("ivo", 8), ("aça~o", 1),
+    ("ador", 1), ("icas", 1), ("ências", 4), ("iras", 9),
+    ("adoras", 1), ("osas", 1), ("istas", 1), ("ivas", 8),
+    ("ezas", 1), ("logías", 2), ("idades", 7), ("uciones", 3),
+    ("adores", 1), ("antes", 1), ("aço~es", 1), ("icos", 1),
+    ("ismos", 1), ("osos", 1), ("amentos", 1), ("imentos", 1),
+    ("ivos", 8),
+]
+PT_A2 = [("ic", 0), ("ad", 0), ("os", 0), ("iv", 1)]
+PT_A3 = [("ante", 1), ("avel", 1), ("ível", 1)]
+PT_A4 = [("ic", 1), ("abil", 1), ("iv", 1)]
+PT_VERB = [
+    ("ada", 1), ("ida", 1), ("ia", 1), ("aria", 1), ("eria", 1),
+    ("iria", 1), ("ara", 1), ("era", 1), ("ira", 1), ("ava", 1),
+    ("asse", 1), ("esse", 1), ("isse", 1), ("aste", 1), ("este", 1),
+    ("iste", 1), ("ei", 1), ("arei", 1), ("erei", 1), ("irei", 1),
+    ("am", 1), ("iam", 1), ("ariam", 1), ("eriam", 1), ("iriam", 1),
+    ("aram", 1), ("eram", 1), ("iram", 1), ("avam", 1), ("em", 1),
+    ("arem", 1), ("erem", 1), ("irem", 1), ("assem", 1),
+    ("essem", 1), ("issem", 1), ("ado", 1), ("ido", 1), ("ando", 1),
+    ("endo", 1), ("indo", 1), ("ara~o", 1), ("era~o", 1),
+    ("ira~o", 1), ("ar", 1), ("er", 1), ("ir", 1), ("as", 1),
+    ("adas", 1), ("idas", 1), ("ias", 1), ("arias", 1),
+    ("erias", 1), ("irias", 1), ("aras", 1), ("eras", 1),
+    ("iras", 1), ("avas", 1), ("es", 1), ("ardes", 1), ("erdes", 1),
+    ("irdes", 1), ("ares", 1), ("eres", 1), ("ires", 1),
+    ("asses", 1), ("esses", 1), ("isses", 1), ("astes", 1),
+    ("estes", 1), ("istes", 1), ("is", 1), ("ais", 1), ("eis", 1),
+    ("areis", 1), ("ereis", 1), ("ireis", 1), ("áreis", 1),
+    ("éreis", 1), ("íreis", 1), ("ásseis", 1),
+    ("ésseis", 1), ("ísseis", 1), ("áveis", 1),
+    ("íeis", 1), ("aríeis", 1), ("eríeis", 1),
+    ("iríeis", 1), ("ados", 1), ("idos", 1), ("amos", 1),
+    ("áramos", 1), ("éramos", 1), ("íramos", 1),
+    ("ávamos", 1), ("íamos", 1), ("aríamos", 1),
+    ("eríamos", 1), ("iríamos", 1), ("emos", 1),
+    ("aremos", 1), ("eremos", 1), ("iremos", 1), ("ássemos", 1),
+    ("êssemos", 1), ("íssemos", 1), ("imos", 1),
+    ("armos", 1), ("ermos", 1), ("irmos", 1), ("ámos", 1),
+    ("arás", 1), ("erás", 1), ("irás", 1), ("eu", 1),
+    ("iu", 1), ("ou", 1), ("ará", 1), ("erá", 1),
+    ("irá", 1),
+]
+PT_RESIDUAL = [("a", 1), ("i", 1), ("o", 1), ("os", 1), ("á", 1),
+               ("í", 1), ("ó", 1)]
+PT_FORM = [("e", 1), ("ç", 2), ("é", 1), ("ê", 1)]
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_romance(w, PT_VOWELS)
+    r1 = _r1_std(w, PT_VOWELS)
+    r2 = _r2_from(w, PT_VOWELS, r1)
+
+    changed = False
+    hit = _longest(w, PT_STD)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1 and p >= r2:
+            w, changed = w[:p], True
+        elif code == 2 and p >= r2:
+            w, changed = w[:p] + "log", True
+        elif code == 3 and p >= r2:
+            w, changed = w[:p] + "u", True
+        elif code == 4 and p >= r2:
+            w, changed = w[:p] + "ente", True
+        elif code == 5 and p >= r1:
+            w, changed = w[:p], True
+            sub = _longest(w, PT_A2)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+                if sub[1] == 1 and w.endswith("at") \
+                        and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif code == 6 and p >= r2:
+            w, changed = w[:p], True
+            sub = _longest(w, PT_A3)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+        elif code == 7 and p >= r2:
+            w, changed = w[:p], True
+            sub = _longest(w, PT_A4)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+        elif code == 8 and p >= r2:
+            w, changed = w[:p], True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif code == 9 and p >= rv and w[:p].endswith("e"):
+            w, changed = w[:p] + "ir", True
+    if not changed:
+        hit = _longest_within(w, PT_VERB, rv)
+        if hit:
+            w, changed = w[:len(w) - len(hit[0])], True
+    if changed:
+        # "remove i in ci": ends i, preceded by c, i in RV
+        if w.endswith("i") and len(w) - 1 >= rv and w[:-1].endswith("c"):
+            w = w[:-1]
+    else:
+        hit = _longest(w, PT_RESIDUAL)
+        if hit and len(w) - len(hit[0]) >= rv:
+            w = w[:len(w) - len(hit[0])]
+    # residual form (always attempted)
+    hit = _longest(w, PT_FORM)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 2:
+            w = w[:p] + "c"
+        elif p >= rv:
+            w = w[:p]
+            if w.endswith("u") and w[:-1].endswith("g") \
+                    and len(w) - 1 >= rv:
+                w = w[:-1]
+            elif w.endswith("i") and w[:-1].endswith("c") \
+                    and len(w) - 1 >= rv:
+                w = w[:-1]
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# -------------------------------------------------------------- Italian
+# ItalianStemmer.cs: acute->grave prelude + u/i marking + qu->qU,
+# attached_pronoun, (standard | verb), vowel_suffix, postlude.
+
+IT_VOWELS = "aeiouàèìòù"
+IT_AEIO = "aeioàèìò"
+IT_ACCENTS = {"á": "à", "é": "è",
+              "í": "ì", "ó": "ò",
+              "ú": "ù"}
+IT_PRON = ["la", "cela", "gliela", "mela", "tela", "vela", "le",
+           "cele", "gliele", "mele", "tele", "vele", "ne", "cene",
+           "gliene", "mene", "sene", "tene", "vene", "ci", "li",
+           "celi", "glieli", "meli", "teli", "veli", "gli", "mi",
+           "si", "ti", "vi", "lo", "celo", "glielo", "melo", "telo",
+           "velo"]
+IT_PRE_MARK = [("ando", 1), ("endo", 1), ("ar", 2), ("er", 2),
+               ("ir", 2)]
+IT_STD = [
+    ("ica", 1), ("logia", 3), ("osa", 1), ("ista", 1), ("iva", 9),
+    ("anza", 1), ("enza", 5), ("ice", 1), ("atrice", 1), ("iche", 1),
+    ("logie", 3), ("abile", 1), ("ibile", 1), ("usione", 4),
+    ("azione", 2), ("uzione", 4), ("atore", 2), ("ose", 1),
+    ("mente", 1), ("amente", 7), ("iste", 1), ("ive", 9),
+    ("anze", 1), ("enze", 5), ("ici", 1), ("atrici", 1),
+    ("ichi", 1), ("abili", 1), ("ibili", 1), ("ismi", 1),
+    ("usioni", 4), ("azioni", 2), ("uzioni", 4), ("atori", 2),
+    ("osi", 1), ("amenti", 6), ("imenti", 6), ("isti", 1),
+    ("ivi", 9), ("ico", 1), ("ismo", 1), ("oso", 1), ("amento", 6),
+    ("imento", 6), ("ivo", 9), ("ità", 8), ("istà", 1),
+    ("istè", 1), ("istì", 1),
+]
+IT_A4 = [("ic", 0), ("abil", 0), ("os", 0), ("iv", 1)]
+IT_A5 = [("ic", 1), ("abil", 1), ("iv", 1)]
+IT_VERB = [
+    ("isca", 1), ("enda", 1), ("ata", 1), ("ita", 1), ("uta", 1),
+    ("ava", 1), ("eva", 1), ("iva", 1), ("erebbe", 1),
+    ("irebbe", 1), ("isce", 1), ("ende", 1), ("are", 1), ("ere", 1),
+    ("ire", 1), ("asse", 1), ("ate", 1), ("avate", 1), ("evate", 1),
+    ("ivate", 1), ("ete", 1), ("erete", 1), ("irete", 1),
+    ("ite", 1), ("ereste", 1), ("ireste", 1), ("ute", 1),
+    ("erai", 1), ("irai", 1), ("isci", 1), ("endi", 1), ("erei", 1),
+    ("irei", 1), ("assi", 1), ("ati", 1), ("iti", 1),
+    ("eresti", 1), ("iresti", 1), ("uti", 1), ("avi", 1),
+    ("evi", 1), ("ivi", 1), ("isco", 1), ("ando", 1), ("endo", 1),
+    ("Yamo", 1), ("iamo", 1), ("avamo", 1), ("evamo", 1),
+    ("ivamo", 1), ("eremo", 1), ("iremo", 1), ("assimo", 1),
+    ("ammo", 1), ("eremmo", 1), ("iremmo", 1), ("immo", 1),
+    ("ano", 1), ("iscano", 1), ("avano", 1), ("evano", 1),
+    ("ivano", 1), ("eranno", 1), ("iranno", 1), ("ono", 1),
+    ("iscono", 1), ("arono", 1), ("erono", 1), ("irono", 1),
+    ("erebbero", 1), ("irebbero", 1), ("assero", 1), ("essero", 1),
+    ("issero", 1), ("ato", 1), ("ito", 1), ("uto", 1), ("avo", 1),
+    ("evo", 1), ("ivo", 1), ("ar", 1), ("ir", 1), ("erà", 1),
+    ("irà", 1), ("erò", 1), ("irò", 1),
+]
+
+
+def _it_prelude(w: str) -> str:
+    w = "".join(IT_ACCENTS.get(c, c) for c in w)
+    out = []
+    i = 0
+    while i < len(w):
+        if w[i] == "q" and i + 1 < len(w) and w[i + 1] == "u":
+            out.append("q")
+            out.append("U")
+            i += 2
+            continue
+        out.append(w[i])
+        i += 1
+    w = "".join(out)
+    out = list(w)
+    for i in range(1, len(out) - 1):
+        if out[i - 1] in IT_VOWELS and out[i + 1] in IT_VOWELS:
+            if out[i] == "u":
+                out[i] = "U"
+            elif out[i] == "i":
+                out[i] = "I"
+    return "".join(out)
+
+
+def italian_stem(word: str) -> str:
+    w = _it_prelude(word)
+    rv = _rv_romance(w, IT_VOWELS)
+    r1 = _r1_std(w, IT_VOWELS)
+    r2 = _r2_from(w, IT_VOWELS, r1)
+
+    # attached pronoun: longest pronoun, then ando/endo (delete) or
+    # ar/er/ir (pronoun -> e), marker start in RV
+    pron = _longest(w, [(p, 0) for p in IT_PRON])
+    if pron:
+        pw = w[:len(w) - len(pron[0])]
+        mark = _longest(pw, IT_PRE_MARK)
+        if mark and len(pw) - len(mark[0]) >= rv:
+            w = pw if mark[1] == 1 else pw + "e"
+
+    changed = False
+    hit = _longest(w, IT_STD)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1 and p >= r2:
+            w, changed = w[:p], True
+        elif code == 2 and p >= r2:
+            w, changed = w[:p], True
+            if w.endswith("ic") and len(w) - 2 >= r2:
+                w = w[:-2]
+        elif code == 3 and p >= r2:
+            w, changed = w[:p] + "log", True
+        elif code == 4 and p >= r2:
+            w, changed = w[:p] + "u", True
+        elif code == 5 and p >= r2:
+            w, changed = w[:p] + "ente", True
+        elif code == 6 and p >= rv:
+            w, changed = w[:p], True
+        elif code == 7 and p >= r1:
+            w, changed = w[:p], True
+            sub = _longest(w, IT_A4)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+                if sub[1] == 1 and w.endswith("at") \
+                        and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif code == 8 and p >= r2:
+            w, changed = w[:p], True
+            sub = _longest(w, IT_A5)
+            if sub and len(w) - len(sub[0]) >= r2:
+                w = w[:len(w) - len(sub[0])]
+        elif code == 9 and p >= r2:
+            w, changed = w[:p], True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+    if not changed:
+        hit = _longest_within(w, IT_VERB, rv)
+        if hit:
+            w = w[:len(w) - len(hit[0])]
+    # vowel_suffix: final a/e/i/o/à/è/ì/ò in RV -> delete (+ preceding
+    # i in RV); then ch/gh -> c/g (h in RV)
+    if w and w[-1] in IT_AEIO and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    if w.endswith(("ch", "gh")) and len(w) - 1 >= rv:
+        w = w[:-1]
+    return w.replace("I", "i").replace("U", "u")
+
+
+# --------------------------------------------------------------- French
+# FrenchStemmer.cs (2002 variant): prelude marks U/I/Y + qU, French RV,
+# (standard | i_verb | verb) + Y/ç fixup, else residual; un_double;
+# un_accent; postlude.
+
+FR_VOWELS = ("aeiouyàâèéêëî"
+             "ïôùû")
+FR_KEEP_S = "aiosuè"
+FR_STD = [
+    ("iqUe", 1), ("atrice", 2), ("ance", 1), ("ence", 5),
+    ("logie", 3), ("able", 1), ("isme", 1), ("euse", 11),
+    ("iste", 1), ("ive", 8), ("if", 8), ("usion", 4), ("ation", 2),
+    ("ution", 4), ("ateur", 2), ("iqUes", 1), ("atrices", 2),
+    ("ances", 1), ("ences", 5), ("logies", 3), ("ables", 1),
+    ("ismes", 1), ("euses", 11), ("istes", 1), ("ives", 8),
+    ("ifs", 8), ("usions", 4), ("ations", 2), ("utions", 4),
+    ("ateurs", 2), ("ments", 15), ("ements", 6), ("issements", 12),
+    ("ités", 7), ("ment", 15), ("ement", 6), ("issement", 12),
+    ("amment", 13), ("emment", 14), ("aux", 10), ("eaux", 9),
+    ("eux", 1), ("ité", 7),
+]
+FR_A1 = [("iqU", 3), ("abl", 3), ("Ièr", 4), ("ièr", 4),
+         ("eus", 2), ("iv", 1)]
+FR_A2 = [("ic", 2), ("abil", 1), ("iv", 3)]
+FR_I_VERB = [
+    ("ira", 1), ("ie", 1), ("isse", 1), ("issante", 1), ("i", 1),
+    ("irai", 1), ("ir", 1), ("iras", 1), ("ies", 1),
+    ("îmes", 1), ("isses", 1), ("issantes", 1),
+    ("îtes", 1), ("is", 1), ("irais", 1), ("issais", 1),
+    ("irions", 1), ("issions", 1), ("irons", 1), ("issons", 1),
+    ("issants", 1), ("it", 1), ("irait", 1), ("issait", 1),
+    ("issant", 1), ("iraIent", 1), ("issaIent", 1), ("irent", 1),
+    ("issent", 1), ("iront", 1), ("ît", 1), ("iriez", 1),
+    ("issiez", 1), ("irez", 1), ("issez", 1),
+]
+FR_VERB = [
+    ("a", 3), ("era", 2), ("asse", 3), ("ante", 3), ("ée", 2),
+    ("ai", 3), ("erai", 2), ("er", 2), ("as", 3), ("eras", 2),
+    ("âmes", 3), ("asses", 3), ("antes", 3), ("âtes", 3),
+    ("ées", 2), ("ais", 3), ("erais", 2), ("ions", 1),
+    ("erions", 2), ("assions", 3), ("erons", 2), ("ants", 3),
+    ("és", 2), ("ait", 3), ("erait", 2), ("ant", 3),
+    ("aIent", 3), ("eraIent", 2), ("èrent", 2), ("assent", 3),
+    ("eront", 2), ("ât", 3), ("ez", 2), ("iez", 2),
+    ("eriez", 2), ("assiez", 3), ("erez", 2), ("é", 2),
+]
+FR_RESIDUAL = [("e", 3), ("Ière", 2), ("ière", 2),
+               ("ion", 1), ("Ier", 2), ("ier", 2), ("ë", 4)]
+FR_DOUBLES = ("ell", "eill", "enn", "onn", "ett")
+
+
+def _fr_prelude(w: str) -> str:
+    out = list(w)
+    i = 0
+    while i < len(out):
+        c = out[i]
+        if c in FR_VOWELS and i + 1 < len(out):
+            nxt = out[i + 1]
+            if nxt == "u" and i + 2 < len(out) \
+                    and out[i + 2] in FR_VOWELS:
+                out[i + 1] = "U"
+                i += 2
+                continue
+            if nxt == "i" and i + 2 < len(out) \
+                    and out[i + 2] in FR_VOWELS:
+                out[i + 1] = "I"
+                i += 2
+                continue
+            if nxt == "y":
+                out[i + 1] = "Y"
+                i += 2
+                continue
+        if c == "y" and i + 1 < len(out) and out[i + 1] in FR_VOWELS:
+            out[i] = "Y"
+            i += 1
+            continue
+        if c == "q" and i + 1 < len(out) and out[i + 1] == "u":
+            out[i + 1] = "U"
+            i += 2
+            continue
+        i += 1
+    return "".join(out)
+
+
+def french_stem(word: str) -> str:
+    w = _fr_prelude(word)
+    rv = _rv_french(w, FR_VOWELS)
+    r1 = _r1_std(w, FR_VOWELS)
+    r2 = _r2_from(w, FR_VOWELS, r1)
+
+    changed = False
+    hit = _longest(w, FR_STD)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1 and p >= r2:
+            w, changed = w[:p], True
+        elif code == 2 and p >= r2:
+            w, changed = w[:p], True
+            if w.endswith("ic"):
+                if len(w) - 2 >= r2:
+                    w = w[:-2]
+                else:
+                    w = w[:-2] + "iqU"
+        elif code == 3 and p >= r2:
+            w, changed = w[:p] + "log", True
+        elif code == 4 and p >= r2:
+            w, changed = w[:p] + "u", True
+        elif code == 5 and p >= r2:
+            w, changed = w[:p] + "ent", True
+        elif code == 6 and p >= rv:  # ement(s)
+            w, changed = w[:p], True
+            sub = _longest(w, FR_A1)
+            if sub:
+                s2, c2 = sub
+                q = len(w) - len(s2)
+                if c2 == 1 and q >= r2:  # iv
+                    w = w[:q]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif c2 == 2:  # eus
+                    if q >= r2:
+                        w = w[:q]
+                    elif q >= r1:
+                        w = w[:q] + "eux"
+                elif c2 == 3 and q >= r2:  # abl/iqU
+                    w = w[:q]
+                elif c2 == 4 and q >= rv:  # ièr/Ièr
+                    w = w[:q] + "i"
+        elif code == 7 and p >= r2:  # ité(s)
+            w, changed = w[:p], True
+            sub = _longest(w, FR_A2)
+            if sub:
+                s2, c2 = sub
+                q = len(w) - len(s2)
+                if c2 == 1:  # abil
+                    w = w[:q] if q >= r2 else w[:q] + "abl"
+                elif c2 == 2:  # ic
+                    w = w[:q] if q >= r2 else w[:q] + "iqU"
+                elif c2 == 3 and q >= r2:  # iv
+                    w = w[:q]
+        elif code == 8 and p >= r2:  # if/ive(s)
+            w, changed = w[:p], True
+            if w.endswith("at") and len(w) - 2 >= r2:
+                w = w[:-2]
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif code == 9:  # eaux
+            w, changed = w[:p] + "eau", True
+        elif code == 10 and p >= r1:  # aux
+            w, changed = w[:p] + "al", True
+        elif code == 11:  # euse(s)
+            if p >= r2:
+                w, changed = w[:p], True
+            elif p >= r1:
+                w, changed = w[:p] + "eux", True
+        elif code == 12 and p >= r1 and p >= 1 \
+                and w[p - 1] not in FR_VOWELS:  # issement(s)
+            w, changed = w[:p], True
+        elif code == 13 and p >= rv:  # amment
+            w, changed = w[:p] + "ant", True
+        elif code == 14 and p >= rv:  # emment
+            w, changed = w[:p] + "ent", True
+        elif code == 15 and p >= 1 and w[p - 1] in FR_VOWELS \
+                and p - 1 >= rv:  # ment(s) preceded by vowel in RV
+            w, changed = w[:p], True
+    if not changed:
+        # i_verb: suffix in RV, preceded by a non-vowel inside RV
+        hit = _longest_within(w, FR_I_VERB, rv)
+        if hit:
+            p = len(w) - len(hit[0])
+            if p - 1 >= rv and w[p - 1] not in FR_VOWELS:
+                w, changed = w[:p], True
+    if not changed:
+        hit = _longest_within(w, FR_VERB, rv)
+        if hit:
+            suf, code = hit
+            p = len(w) - len(suf)
+            if code == 1 and p >= r2:  # ions
+                w, changed = w[:p], True
+            elif code == 2:
+                w, changed = w[:p], True
+            elif code == 3:
+                w, changed = w[:p], True
+                if w.endswith("e") and len(w) - 1 >= rv:
+                    w = w[:-1]
+    if changed:
+        # fixup: final Y -> i, final ç -> c
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # residual: s not after keep_with_s chars, then RV among
+        if w.endswith("s") and len(w) >= 2 and w[-2] not in FR_KEEP_S:
+            w = w[:-1]
+        hit = _longest_within(w, FR_RESIDUAL, rv)
+        if hit:
+            suf, code = hit
+            p = len(w) - len(suf)
+            if code == 1:  # ion: R2 + preceded by s/t within RV
+                if p >= r2 and p - 1 >= rv and w[p - 1] in "st":
+                    w = w[:p]
+            elif code == 2:
+                w = w[:p] + "i"
+            elif code == 3:
+                w = w[:p]
+            elif code == 4 and w[:p].endswith("gu"):
+                w = w[:p]
+    # un_double
+    if w.endswith(FR_DOUBLES):
+        w = w[:-1]
+    # un_accent: é/è before a run of 1+ non-vowels at the end
+    i = len(w) - 1
+    while i >= 0 and w[i] not in FR_VOWELS:
+        i -= 1
+    if i >= 0 and i < len(w) - 1 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1:]
+    return (w.replace("I", "i").replace("U", "u").replace("Y", "y"))
+
+
+# ------------------------------------------------------------ analyzers
+
+
+def _plain_snowball_analyzer(stem_fn):
+    """SnowballAnalyzer(lang) with no stop set: standard tokenizer +
+    StandardFilter + lowercase + length filter + Snowball stem
+    (SnowballAnalyzer.cs TokenStream; stop set is the optional ctor
+    arg, omitted here — the contrib ships no stop lists for these
+    languages)."""
+    from .tokenizers import (
+        MAX_TOKEN_LENGTH, STANDARD_TOKEN_RE, _std_transform)
+
+    def analyze(text: str) -> list[tuple[str, int]]:
+        if text is None:
+            return []
+        out = []
+        for pos, tok in enumerate(STANDARD_TOKEN_RE.findall(text.lower())):
+            tok = _std_transform(tok)
+            if len(tok) > MAX_TOKEN_LENGTH:
+                continue
+            out.append((stem_fn(tok), pos))
+        return out
+    return analyze
+
+
+def swedish_snowball_analyzer():
+    return _plain_snowball_analyzer(swedish_stem)
+
+
+def dutch_snowball_analyzer():
+    return _plain_snowball_analyzer(dutch_stem)
+
+
+def spanish_snowball_analyzer():
+    return _plain_snowball_analyzer(spanish_stem)
+
+
+def portuguese_snowball_analyzer():
+    return _plain_snowball_analyzer(portuguese_stem)
+
+
+def italian_snowball_analyzer():
+    return _plain_snowball_analyzer(italian_stem)
+
+
+def french_snowball_analyzer():
+    return _plain_snowball_analyzer(french_stem)

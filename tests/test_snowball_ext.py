@@ -1,0 +1,120 @@
+"""Snowball breadth goldens (SV/NL/ES/PT/IT/FR), each hand-traced
+against the reference's generated control flow
+(src/contrib/Snowball/SF/Snowball/Ext/*Stemmer.cs — the 2002-era
+variants; see analysis/snowball_ext.py docstring for the pinning
+notes).  Each case names the routine/step it exercises."""
+
+import pytest
+
+from lucenenet_spark.analysis import snowball_ext as S
+
+SV = [
+    # main_suffix within R1 (min-3)
+    ("klubben", "klubb"), ("jaktkarlarne", "jaktkarl"),
+    ("följeslagare", "följeslag"), ("klubbens", "klubb"),
+    # s-ending gate
+    ("husets", "huset"), ("andas", "and"),
+    # consonant pair after main suffix
+    ("förbannat", "förban"),
+    # other_suffix replacements
+    ("sorgfullt", "sorgfull"), ("arbetslöst", "arbetslös"),
+    # suffix poking out of R1 must NOT match (setlimit fallthrough)
+    ("trolöst", "trolöst"),
+    # short words: R1 floor of 3
+    ("de", "de"), ("dag", "dag"),
+]
+
+NL = [
+    ("lichamelijk", "licham"), ("lichamelijke", "licham"),
+    ("gekken", "gek"),           # en_ending + undouble
+    ("gemen", "gemen"),          # gem-exception blocks en_ending
+    ("vuren", "vur"),            # en_ending, no vowel-undouble (3 chars)
+    ("huizen", "huiz"),
+    ("aardappelen", "aardappel"),
+    ("heerlijkheden", "heerlijk"),  # heden -> heid (R1), heid gone in R2
+    ("baarden", "baard"),
+    ("koninginnen", "koninginn"),  # undouble is kk/dd/tt ONLY
+    ("ogenblikkelijke", "ogenblik"),
+]
+
+ES = [
+    ("niñas", "niñ"), ("canciones", "cancion"),
+    ("felizmente", "feliz"), ("lógicamente", "logic"),
+    ("vayamos", "vay"), ("corriendo", "corr"),
+    ("atracción", "atraccion"),  # postlude only
+    ("comiéndoselo", "com"),     # attached pronoun: iéndo -> iendo
+    ("guerra", "guerr"),
+    ("pague", "pag"),            # residual e + gu
+]
+
+PT = [
+    ("bonecas", "bonec"), ("quinze", "quinz"),
+    ("corações", "coraçõ"),      # 2002 variant: no o~es verb entry
+    ("pague", "pag"),            # residual form e + gu
+    ("grandeza", "grandez"),
+    ("propriedade", "propriedad"),  # idade not in R2; residual e
+]
+
+IT = [
+    ("abbandonata", "abbandon"), ("pronomi", "pronom"),
+    ("mangiarla", "mang"),       # pronoun -> e, then verb 'are'
+    ("mangiandola", "mang"),     # pronoun deleted, verb ando, final i
+    ("nazionale", "nazional"),
+    ("logia", "log"),            # std fails R2; vowel_suffix a then i
+]
+
+FR = [
+    ("majestueux", "majestu"), ("continuité", "continu"),
+    ("fiction", "fiction"), ("nation", "nation"),
+    ("émotions", "émot"),        # residual s + ion (R2, after t)
+    ("payer", "pai"),            # prelude Y + verb er + Y->i fixup
+    ("éléments", "élément"),     # ment preceded by vowel? m: no
+    ("importante", "import"),    # verb 'ante' (code 3 delete)
+]
+
+
+@pytest.mark.parametrize("word,want", SV)
+def test_swedish(word, want):
+    assert S.swedish_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", NL)
+def test_dutch(word, want):
+    assert S.dutch_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", ES)
+def test_spanish(word, want):
+    assert S.spanish_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", PT)
+def test_portuguese(word, want):
+    assert S.portuguese_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", IT)
+def test_italian(word, want):
+    assert S.italian_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", FR)
+def test_french(word, want):
+    assert S.french_stem(word) == want
+
+
+def test_stemmers_idempotent_on_stems():
+    """A stem re-fed to its stemmer must not crash and must stay a
+    str (not necessarily a fixpoint — Snowball is not idempotent)."""
+    for fn, words in ((S.swedish_stem, SV), (S.dutch_stem, NL),
+                      (S.spanish_stem, ES), (S.portuguese_stem, PT),
+                      (S.italian_stem, IT), (S.french_stem, FR)):
+        for w, want in words:
+            assert isinstance(fn(want), str)
+
+
+def test_analyzers_emit_positions():
+    an = S.spanish_snowball_analyzer()
+    toks = an("las canciones buenas")
+    assert [p for _, p in toks] == [0, 1, 2]
+    assert toks[1][0] == "cancion"
