@@ -243,6 +243,64 @@ def _ft_snowball_de(spark, sf_dir):
         ast.Term("tabl"), K)
 
 
+def _snowball_ext_searcher(spark, sf_dir, lang: str):
+    """Index built through a round-5 SnowballAnalyzer chain
+    (analysis/snowball_ext.py: SV/NL/ES/PT/IT/FR pinned to the
+    reference's generated variants, src/contrib/Snowball/SF/Snowball/
+    Ext/*Stemmer.cs); no stop set — the contrib ships none for these
+    languages.  Oracle: oracle/snowball_sql.py vocabulary CTE chains."""
+    from lucenenet_spark.analysis import snowball_ext as sbx
+    key = (sf_dir, f"snowx-{lang}")
+    hit = _ANALYZER_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    an = getattr(sbx, f"{lang}_snowball_analyzer")()
+    idx = build_segmented_index(
+        spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
+        field_name="text", analyzer=an,
+    )
+    s = Searcher(idx)
+    _ANALYZER_CACHE[key] = (spark, s)
+    return s
+
+
+def _ft_snowball_sv(spark, sf_dir):
+    # swedish main_suffix: merges/merge -> 'merg' ('es'/'e' in R1)
+    return _snowball_ext_searcher(spark, sf_dir, "swedish").search(
+        ast.Term("merg"), K)
+
+
+def _ft_snowball_nl(spark, sf_dir):
+    # dutch e_ending: table -> 'tabl'; tables -> s after non-vowel... ->
+    # query the 'tabl' family
+    return _snowball_ext_searcher(spark, sf_dir, "dutch").search(
+        ast.Term("tabl"), K)
+
+
+def _ft_snowball_es(spark, sf_dir):
+    # spanish verb 'es' + residual 'e': merges/merge -> 'merg'
+    return _snowball_ext_searcher(spark, sf_dir, "spanish").search(
+        ast.Term("merg"), K)
+
+
+def _ft_snowball_pt(spark, sf_dir):
+    # portuguese verb 'es' / residual-form 'e': batches/batch family
+    return _snowball_ext_searcher(spark, sf_dir, "portuguese").search(
+        ast.Term("scan"), K)
+
+
+def _ft_snowball_it(spark, sf_dir):
+    # italian vowel_suffix strips the final vowel: table -> 'tabl'
+    return _snowball_ext_searcher(spark, sf_dir, "italian").search(
+        ast.Term("tabl"), K)
+
+
+def _ft_snowball_fr(spark, sf_dir):
+    # french residual 'e' in RV: merge -> 'merg'
+    return _snowball_ext_searcher(spark, sf_dir, "french").search(
+        ast.Term("merg"), K)
+
+
 def _cjk_translit(s: str) -> str:
     return s.translate(str.maketrans(sqlgen.CJK_LAT36, sqlgen.CJK_HAN36))
 
@@ -1268,6 +1326,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": _ann_sq8,
         # IVF coarse probe x SQ8 fine scoring over the persisted codes
         "ann_ivf_sq8": _ann_ivf_sq8,
+        # round-5 Snowball breadth (contrib Snowball Ext/*Stemmer.cs)
+        "ft_snowball_sv": _ft_snowball_sv,
+        "ft_snowball_nl": _ft_snowball_nl,
+        "ft_snowball_es": _ft_snowball_es,
+        "ft_snowball_pt": _ft_snowball_pt,
+        "ft_snowball_it": _ft_snowball_it,
+        "ft_snowball_fr": _ft_snowball_fr,
     }
 
 
@@ -1449,4 +1514,10 @@ def oracle_sql() -> dict[str, str]:
         "txt_contam": g.eval_contamination(n=8),
         "ann_sq8_topk": g.sq8_topk(0, K),
         "ann_ivf_sq8": g.ivf_sq8_topk(0, K, nlist=256, nprobe=32),
+        "ft_snowball_sv": g.snowball_term_query("merg", K, lang="swedish"),
+        "ft_snowball_nl": g.snowball_term_query("tabl", K, lang="dutch"),
+        "ft_snowball_es": g.snowball_term_query("merg", K, lang="spanish"),
+        "ft_snowball_pt": g.snowball_term_query("scan", K, lang="portuguese"),
+        "ft_snowball_it": g.snowball_term_query("tabl", K, lang="italian"),
+        "ft_snowball_fr": g.snowball_term_query("merg", K, lang="french"),
     }

@@ -333,6 +333,21 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
         from .tables import GERMAN_STOP_WORDS
         stop_sql = ",".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
         stem_ctes = "," + _german_ctes()
+    elif stemmer is not None:
+        # round-5 Snowball breadth: standard chain with NO stop set
+        # (the contrib ships no stop lists for these languages;
+        # analysis/snowball_ext._plain_snowball_analyzer twin)
+        from . import snowball_sql
+        builder = {
+            "swedish": snowball_sql.swedish_ctes,
+            "dutch": snowball_sql.dutch_ctes,
+            "spanish": snowball_sql.spanish_ctes,
+            "portuguese": snowball_sql.portuguese_ctes,
+            "italian": snowball_sql.italian_ctes,
+            "french": snowball_sql.french_ctes,
+        }[stemmer]
+        stop_sql = None
+        stem_ctes = "," + builder()
     if auto_stop_pct is not None:
         # QueryAutoStopWordAnalyzer twin (analysis/misc.auto_stopwords):
         # stop terms = df > int(numDocs * pct) over the DELEGATE chain
@@ -363,6 +378,8 @@ synmap(word, syn) AS (SELECT * FROM (VALUES {vals}))"""
   FROM tok_f t JOIN stemmap m USING (term)
 )""" if stemmer else
             "tokens AS (SELECT * FROM tok_f)")
+    stop_filter = (f" AND term NOT IN ({stop_sql})"
+                   if stop_sql is not None else "")
     return f"""
 tk AS (
   SELECT {id_col} AS doc_id, unnest(toks) AS term,
@@ -375,7 +392,7 @@ tk AS (
 ),
 tok_f AS (
   SELECT * FROM tk
-  WHERE length(term) <= 255 AND term NOT IN ({stop_sql})
+  WHERE length(term) <= 255{stop_filter}
 ){stem_ctes},
 {tokens_cte},
 dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),

@@ -271,3 +271,239 @@ def mh_consts(num_hashes: int) -> list[tuple[int, int]]:
          (2654435761 * i + 99991) % (1 << 30))
         for i in range(num_hashes)
     ]
+
+
+# ---- Snowball breadth (SV/NL/ES/PT/IT/FR) transcriptions ----------
+# (oracle copies of analysis/snowball_ext.py's among tables; pinned
+# equal by tests/test_oracle_drift.py)
+
+SV_VOWELS = 'aeiouyäåö'
+
+SV_S_ENDING = frozenset(['b', 'c', 'd', 'f', 'g', 'h', 'j', 'k', 'l', 'm', 'n', 'o', 'p', 'r',
+ 't', 'v', 'y'])
+
+SV_MAIN = [('a', 1), ('arna', 1), ('erna', 1), ('heterna', 1), ('orna', 1),
+ ('ad', 1), ('e', 1), ('ade', 1), ('ande', 1), ('arne', 1), ('are', 1),
+ ('aste', 1), ('en', 1), ('anden', 1), ('aren', 1), ('heten', 1),
+ ('ern', 1), ('ar', 1), ('er', 1), ('heter', 1), ('or', 1), ('s', 2),
+ ('as', 1), ('arnas', 1), ('ernas', 1), ('ornas', 1), ('es', 1),
+ ('ades', 1), ('andes', 1), ('ens', 1), ('arens', 1), ('hetens', 1),
+ ('erns', 1), ('at', 1), ('andet', 1), ('het', 1), ('ast', 1)]
+
+SV_PAIRS = ('dd', 'gd', 'nn', 'dt', 'gt', 'kt', 'tt')
+
+SV_OTHER = [('ig', 1), ('lig', 1), ('els', 1), ('fullt', 3), ('löst', 2)]
+
+NL_VOWELS = 'aeiouyè'
+
+NL_ACCENTS = {'á': 'a',
+ 'ä': 'a',
+ 'é': 'e',
+ 'ë': 'e',
+ 'í': 'i',
+ 'ï': 'i',
+ 'ó': 'o',
+ 'ö': 'o',
+ 'ú': 'u',
+ 'ü': 'u'}
+
+NL_STEP1 = [('ene', 2), ('se', 3), ('en', 2), ('heden', 1), ('s', 3)]
+
+NL_D_SUFFIX = [('end', 1), ('ig', 2), ('ing', 1), ('lijk', 3), ('baar', 4),
+ ('bar', 5)]
+
+ES_VOWELS = 'aeiouáéíóúü'
+
+ES_PRON = ['la', 'sela', 'le', 'me', 'se', 'lo', 'selo', 'las', 'selas', 'les',
+ 'los', 'selos', 'nos']
+
+ES_PRE_MARK = [('ando', 6), ('iendo', 6), ('yendo', 7), ('ándo', 2), ('iéndo', 1),
+ ('ar', 6), ('er', 6), ('ir', 6), ('ár', 3), ('ér', 4), ('ír', 5)]
+
+ES_MARK_REPL = {1: 'iendo', 2: 'ando', 3: 'ar', 4: 'er', 5: 'ir'}
+
+ES_STD = [('ica', 1), ('encia', 5), ('adora', 2), ('osa', 1), ('ista', 1),
+ ('iva', 9), ('anza', 1), ('logía', 3), ('idad', 8), ('able', 1),
+ ('ible', 1), ('mente', 7), ('amente', 6), ('ación', 2), ('ución', 4),
+ ('ico', 1), ('ismo', 1), ('oso', 1), ('amiento', 1), ('imiento', 1),
+ ('ivo', 9), ('ador', 2), ('icas', 1), ('encias', 5), ('adoras', 2),
+ ('osas', 1), ('istas', 1), ('ivas', 9), ('anzas', 1), ('logías', 3),
+ ('idades', 8), ('ables', 1), ('ibles', 1), ('aciones', 2),
+ ('uciones', 4), ('adores', 2), ('icos', 1), ('ismos', 1), ('osos', 1),
+ ('amientos', 1), ('imientos', 1), ('ivos', 9)]
+
+ES_A3 = [('ic', 0), ('ad', 0), ('os', 0), ('iv', 1)]
+
+ES_A4 = [('able', 1), ('ible', 1)]
+
+ES_A5 = [('ic', 1), ('abil', 1), ('iv', 1)]
+
+ES_Y_VERB = [('ya', 1), ('ye', 1), ('yan', 1), ('yen', 1), ('yeron', 1),
+ ('yendo', 1), ('yo', 1), ('yas', 1), ('yes', 1), ('yais', 1),
+ ('yamos', 1), ('yó', 1)]
+
+ES_VERB = [('aba', 2), ('ada', 2), ('ida', 2), ('ara', 2), ('iera', 2), ('ía', 2),
+ ('aría', 2), ('ería', 2), ('iría', 2), ('ad', 2), ('ed', 2), ('id', 2),
+ ('ase', 2), ('iese', 2), ('aste', 2), ('iste', 2), ('an', 2),
+ ('aban', 2), ('aran', 2), ('ieran', 2), ('ían', 2), ('arían', 2),
+ ('erían', 2), ('irían', 2), ('en', 1), ('asen', 2), ('iesen', 2),
+ ('aron', 2), ('ieron', 2), ('arán', 2), ('erán', 2), ('irán', 2),
+ ('ado', 2), ('ido', 2), ('ando', 2), ('iendo', 2), ('ar', 2),
+ ('er', 2), ('ir', 2), ('as', 2), ('abas', 2), ('adas', 2), ('idas', 2),
+ ('aras', 2), ('ieras', 2), ('ías', 2), ('arías', 2), ('erías', 2),
+ ('irías', 2), ('es', 1), ('ases', 2), ('ieses', 2), ('abais', 2),
+ ('arais', 2), ('ierais', 2), ('íais', 2), ('aríais', 2), ('eríais', 2),
+ ('iríais', 2), ('aseis', 2), ('ieseis', 2), ('asteis', 2),
+ ('isteis', 2), ('áis', 2), ('éis', 1), ('aréis', 2), ('eréis', 2),
+ ('iréis', 2), ('ados', 2), ('idos', 2), ('amos', 2), ('ábamos', 2),
+ ('áramos', 2), ('iéramos', 2), ('íamos', 2), ('aríamos', 2),
+ ('eríamos', 2), ('iríamos', 2), ('emos', 1), ('aremos', 2),
+ ('eremos', 2), ('iremos', 2), ('ásemos', 2), ('iésemos', 2),
+ ('imos', 2), ('arás', 2), ('erás', 2), ('irás', 2), ('ís', 2),
+ ('ará', 2), ('erá', 2), ('irá', 2), ('aré', 2), ('eré', 2), ('iré', 2),
+ ('ió', 2)]
+
+ES_RESIDUAL = [('a', 1), ('e', 2), ('o', 1), ('os', 1), ('á', 1), ('é', 2), ('í', 1),
+ ('ó', 1)]
+
+ES_POST = {'á': 'a', 'é': 'e', 'í': 'i', 'ó': 'o', 'ú': 'u'}
+
+PT_VOWELS = 'aeiouáâéêíóôú'
+
+PT_STD = [('ica', 1), ('ância', 1), ('ência', 4), ('ira', 9), ('adora', 1),
+ ('osa', 1), ('ista', 1), ('iva', 8), ('eza', 1), ('logía', 2),
+ ('idade', 7), ('ante', 1), ('mente', 6), ('amente', 5), ('ável', 1),
+ ('ível', 1), ('ución', 3), ('ico', 1), ('ismo', 1), ('oso', 1),
+ ('amento', 1), ('imento', 1), ('ivo', 8), ('aça~o', 1), ('ador', 1),
+ ('icas', 1), ('ências', 4), ('iras', 9), ('adoras', 1), ('osas', 1),
+ ('istas', 1), ('ivas', 8), ('ezas', 1), ('logías', 2), ('idades', 7),
+ ('uciones', 3), ('adores', 1), ('antes', 1), ('aço~es', 1),
+ ('icos', 1), ('ismos', 1), ('osos', 1), ('amentos', 1), ('imentos', 1),
+ ('ivos', 8)]
+
+PT_A2 = [('ic', 0), ('ad', 0), ('os', 0), ('iv', 1)]
+
+PT_A3 = [('ante', 1), ('avel', 1), ('ível', 1)]
+
+PT_A4 = [('ic', 1), ('abil', 1), ('iv', 1)]
+
+PT_VERB = [('ada', 1), ('ida', 1), ('ia', 1), ('aria', 1), ('eria', 1),
+ ('iria', 1), ('ara', 1), ('era', 1), ('ira', 1), ('ava', 1),
+ ('asse', 1), ('esse', 1), ('isse', 1), ('aste', 1), ('este', 1),
+ ('iste', 1), ('ei', 1), ('arei', 1), ('erei', 1), ('irei', 1),
+ ('am', 1), ('iam', 1), ('ariam', 1), ('eriam', 1), ('iriam', 1),
+ ('aram', 1), ('eram', 1), ('iram', 1), ('avam', 1), ('em', 1),
+ ('arem', 1), ('erem', 1), ('irem', 1), ('assem', 1), ('essem', 1),
+ ('issem', 1), ('ado', 1), ('ido', 1), ('ando', 1), ('endo', 1),
+ ('indo', 1), ('ara~o', 1), ('era~o', 1), ('ira~o', 1), ('ar', 1),
+ ('er', 1), ('ir', 1), ('as', 1), ('adas', 1), ('idas', 1), ('ias', 1),
+ ('arias', 1), ('erias', 1), ('irias', 1), ('aras', 1), ('eras', 1),
+ ('iras', 1), ('avas', 1), ('es', 1), ('ardes', 1), ('erdes', 1),
+ ('irdes', 1), ('ares', 1), ('eres', 1), ('ires', 1), ('asses', 1),
+ ('esses', 1), ('isses', 1), ('astes', 1), ('estes', 1), ('istes', 1),
+ ('is', 1), ('ais', 1), ('eis', 1), ('areis', 1), ('ereis', 1),
+ ('ireis', 1), ('áreis', 1), ('éreis', 1), ('íreis', 1), ('ásseis', 1),
+ ('ésseis', 1), ('ísseis', 1), ('áveis', 1), ('íeis', 1), ('aríeis', 1),
+ ('eríeis', 1), ('iríeis', 1), ('ados', 1), ('idos', 1), ('amos', 1),
+ ('áramos', 1), ('éramos', 1), ('íramos', 1), ('ávamos', 1),
+ ('íamos', 1), ('aríamos', 1), ('eríamos', 1), ('iríamos', 1),
+ ('emos', 1), ('aremos', 1), ('eremos', 1), ('iremos', 1),
+ ('ássemos', 1), ('êssemos', 1), ('íssemos', 1), ('imos', 1),
+ ('armos', 1), ('ermos', 1), ('irmos', 1), ('ámos', 1), ('arás', 1),
+ ('erás', 1), ('irás', 1), ('eu', 1), ('iu', 1), ('ou', 1), ('ará', 1),
+ ('erá', 1), ('irá', 1)]
+
+PT_RESIDUAL = [('a', 1), ('i', 1), ('o', 1), ('os', 1), ('á', 1), ('í', 1), ('ó', 1)]
+
+PT_FORM = [('e', 1), ('ç', 2), ('é', 1), ('ê', 1)]
+
+IT_VOWELS = 'aeiouàèìòù'
+
+IT_AEIO = 'aeioàèìò'
+
+IT_ACCENTS = {'á': 'à', 'é': 'è', 'í': 'ì', 'ó': 'ò', 'ú': 'ù'}
+
+IT_PRON = ['la', 'cela', 'gliela', 'mela', 'tela', 'vela', 'le', 'cele', 'gliele',
+ 'mele', 'tele', 'vele', 'ne', 'cene', 'gliene', 'mene', 'sene', 'tene',
+ 'vene', 'ci', 'li', 'celi', 'glieli', 'meli', 'teli', 'veli', 'gli',
+ 'mi', 'si', 'ti', 'vi', 'lo', 'celo', 'glielo', 'melo', 'telo',
+ 'velo']
+
+IT_PRE_MARK = [('ando', 1), ('endo', 1), ('ar', 2), ('er', 2), ('ir', 2)]
+
+IT_STD = [('ica', 1), ('logia', 3), ('osa', 1), ('ista', 1), ('iva', 9),
+ ('anza', 1), ('enza', 5), ('ice', 1), ('atrice', 1), ('iche', 1),
+ ('logie', 3), ('abile', 1), ('ibile', 1), ('usione', 4), ('azione', 2),
+ ('uzione', 4), ('atore', 2), ('ose', 1), ('mente', 1), ('amente', 7),
+ ('iste', 1), ('ive', 9), ('anze', 1), ('enze', 5), ('ici', 1),
+ ('atrici', 1), ('ichi', 1), ('abili', 1), ('ibili', 1), ('ismi', 1),
+ ('usioni', 4), ('azioni', 2), ('uzioni', 4), ('atori', 2), ('osi', 1),
+ ('amenti', 6), ('imenti', 6), ('isti', 1), ('ivi', 9), ('ico', 1),
+ ('ismo', 1), ('oso', 1), ('amento', 6), ('imento', 6), ('ivo', 9),
+ ('ità', 8), ('istà', 1), ('istè', 1), ('istì', 1)]
+
+IT_A4 = [('ic', 0), ('abil', 0), ('os', 0), ('iv', 1)]
+
+IT_A5 = [('ic', 1), ('abil', 1), ('iv', 1)]
+
+IT_VERB = [('isca', 1), ('enda', 1), ('ata', 1), ('ita', 1), ('uta', 1),
+ ('ava', 1), ('eva', 1), ('iva', 1), ('erebbe', 1), ('irebbe', 1),
+ ('isce', 1), ('ende', 1), ('are', 1), ('ere', 1), ('ire', 1),
+ ('asse', 1), ('ate', 1), ('avate', 1), ('evate', 1), ('ivate', 1),
+ ('ete', 1), ('erete', 1), ('irete', 1), ('ite', 1), ('ereste', 1),
+ ('ireste', 1), ('ute', 1), ('erai', 1), ('irai', 1), ('isci', 1),
+ ('endi', 1), ('erei', 1), ('irei', 1), ('assi', 1), ('ati', 1),
+ ('iti', 1), ('eresti', 1), ('iresti', 1), ('uti', 1), ('avi', 1),
+ ('evi', 1), ('ivi', 1), ('isco', 1), ('ando', 1), ('endo', 1),
+ ('Yamo', 1), ('iamo', 1), ('avamo', 1), ('evamo', 1), ('ivamo', 1),
+ ('eremo', 1), ('iremo', 1), ('assimo', 1), ('ammo', 1), ('eremmo', 1),
+ ('iremmo', 1), ('immo', 1), ('ano', 1), ('iscano', 1), ('avano', 1),
+ ('evano', 1), ('ivano', 1), ('eranno', 1), ('iranno', 1), ('ono', 1),
+ ('iscono', 1), ('arono', 1), ('erono', 1), ('irono', 1),
+ ('erebbero', 1), ('irebbero', 1), ('assero', 1), ('essero', 1),
+ ('issero', 1), ('ato', 1), ('ito', 1), ('uto', 1), ('avo', 1),
+ ('evo', 1), ('ivo', 1), ('ar', 1), ('ir', 1), ('erà', 1), ('irà', 1),
+ ('erò', 1), ('irò', 1)]
+
+FR_VOWELS = 'aeiouyàâèéêëîïôùû'
+
+FR_KEEP_S = 'aiosuè'
+
+FR_STD = [('iqUe', 1), ('atrice', 2), ('ance', 1), ('ence', 5), ('logie', 3),
+ ('able', 1), ('isme', 1), ('euse', 11), ('iste', 1), ('ive', 8),
+ ('if', 8), ('usion', 4), ('ation', 2), ('ution', 4), ('ateur', 2),
+ ('iqUes', 1), ('atrices', 2), ('ances', 1), ('ences', 5),
+ ('logies', 3), ('ables', 1), ('ismes', 1), ('euses', 11), ('istes', 1),
+ ('ives', 8), ('ifs', 8), ('usions', 4), ('ations', 2), ('utions', 4),
+ ('ateurs', 2), ('ments', 15), ('ements', 6), ('issements', 12),
+ ('ités', 7), ('ment', 15), ('ement', 6), ('issement', 12),
+ ('amment', 13), ('emment', 14), ('aux', 10), ('eaux', 9), ('eux', 1),
+ ('ité', 7)]
+
+FR_A1 = [('iqU', 3), ('abl', 3), ('Ièr', 4), ('ièr', 4), ('eus', 2), ('iv', 1)]
+
+FR_A2 = [('ic', 2), ('abil', 1), ('iv', 3)]
+
+FR_I_VERB = [('ira', 1), ('ie', 1), ('isse', 1), ('issante', 1), ('i', 1),
+ ('irai', 1), ('ir', 1), ('iras', 1), ('ies', 1), ('îmes', 1),
+ ('isses', 1), ('issantes', 1), ('îtes', 1), ('is', 1), ('irais', 1),
+ ('issais', 1), ('irions', 1), ('issions', 1), ('irons', 1),
+ ('issons', 1), ('issants', 1), ('it', 1), ('irait', 1), ('issait', 1),
+ ('issant', 1), ('iraIent', 1), ('issaIent', 1), ('irent', 1),
+ ('issent', 1), ('iront', 1), ('ît', 1), ('iriez', 1), ('issiez', 1),
+ ('irez', 1), ('issez', 1)]
+
+FR_VERB = [('a', 3), ('era', 2), ('asse', 3), ('ante', 3), ('ée', 2), ('ai', 3),
+ ('erai', 2), ('er', 2), ('as', 3), ('eras', 2), ('âmes', 3),
+ ('asses', 3), ('antes', 3), ('âtes', 3), ('ées', 2), ('ais', 3),
+ ('erais', 2), ('ions', 1), ('erions', 2), ('assions', 3), ('erons', 2),
+ ('ants', 3), ('és', 2), ('ait', 3), ('erait', 2), ('ant', 3),
+ ('aIent', 3), ('eraIent', 2), ('èrent', 2), ('assent', 3),
+ ('eront', 2), ('ât', 3), ('ez', 2), ('iez', 2), ('eriez', 2),
+ ('assiez', 3), ('erez', 2), ('é', 2)]
+
+FR_RESIDUAL = [('e', 3), ('Ière', 2), ('ière', 2), ('ion', 1), ('Ier', 2), ('ier', 2),
+ ('ë', 4)]
+
+FR_DOUBLES = ('ell', 'eill', 'enn', 'onn', 'ett')
+

@@ -60,6 +60,23 @@ def test_constant_copies_match_engine():
     assert T.MH_PRIME == D.MH_PRIME
 
 
+def test_snowball_ext_copies_match_engine():
+    from lucenenet_spark.analysis import snowball_ext as X
+    for name in (
+        "SV_VOWELS", "SV_S_ENDING", "SV_MAIN", "SV_PAIRS", "SV_OTHER",
+        "NL_VOWELS", "NL_ACCENTS", "NL_STEP1", "NL_D_SUFFIX",
+        "ES_VOWELS", "ES_PRON", "ES_PRE_MARK", "ES_MARK_REPL", "ES_STD",
+        "ES_A3", "ES_A4", "ES_A5", "ES_Y_VERB", "ES_VERB",
+        "ES_RESIDUAL", "ES_POST", "PT_VOWELS", "PT_STD", "PT_A2",
+        "PT_A3", "PT_A4", "PT_VERB", "PT_RESIDUAL", "PT_FORM",
+        "IT_VOWELS", "IT_AEIO", "IT_ACCENTS", "IT_PRON", "IT_PRE_MARK",
+        "IT_STD", "IT_A4", "IT_A5", "IT_VERB", "FR_VOWELS",
+        "FR_KEEP_S", "FR_STD", "FR_A1", "FR_A2", "FR_I_VERB",
+        "FR_VERB", "FR_RESIDUAL", "FR_DOUBLES",
+    ):
+        assert getattr(T, name) == getattr(X, name), name
+
+
 def test_helper_copies_match_engine():
     from lucenenet_spark.analysis.tokenizers import tokenize_standard
     from lucenenet_spark.functions.numbertools import long_to_string
