@@ -295,6 +295,35 @@ def _ft_snowball_it(spark, sf_dir):
         ast.Term("tabl"), K)
 
 
+_HYPH_PATTERNS = ["cus1tom", "tom1er", "win1dow", "da1ta"]
+_HYPH_DICT = {"custom", "tom", "er", "win", "dow"}
+
+
+def _ft_hyph_compound(spark, sf_dir):
+    """HyphenationCompoundWordTokenFilter (analysis/compound.
+    hyphenation_*; HyphenationCompoundWordTokenFilter.cs + the FOP
+    Hyphenation package): Liang-pattern hyphen points + dictionary
+    subwords stacked at the compound's position.  'custom' exists in
+    postings only through decompounding 'customer'.  Oracle re-runs
+    points, pair walk, and dictionary (incl. the genitive one-shorter
+    fallback) in SQL."""
+    from lucenenet_spark.analysis.compound import (
+        HyphenationPatterns, hyphenation_compound_analyzer)
+    hit = _ANALYZER_CACHE.get((sf_dir, "hyph"))
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        an = hyphenation_compound_analyzer(
+            HyphenationPatterns(_HYPH_PATTERNS), _HYPH_DICT)
+        idx = build_segmented_index(
+            spark, _docs(spark, sf_dir), text_col="text",
+            id_col="doc_id", field_name="text", analyzer=an,
+        )
+        s = Searcher(idx)
+        _ANALYZER_CACHE[(sf_dir, "hyph")] = (spark, s)
+    return s.search(ast.Term("custom"), K)
+
+
 def _ft_snowball_fr(spark, sf_dir):
     # french residual 'e' in RV: merge -> 'merg'
     return _snowball_ext_searcher(spark, sf_dir, "french").search(
@@ -1333,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snowball_pt": _ft_snowball_pt,
         "ft_snowball_it": _ft_snowball_it,
         "ft_snowball_fr": _ft_snowball_fr,
+        # HyphenationCompoundWordTokenFilter decompounding
+        "ft_hyph_compound": _ft_hyph_compound,
     }
 
 
@@ -1520,4 +1551,6 @@ def oracle_sql() -> dict[str, str]:
         "ft_snowball_pt": g.snowball_term_query("scan", K, lang="portuguese"),
         "ft_snowball_it": g.snowball_term_query("tabl", K, lang="italian"),
         "ft_snowball_fr": g.snowball_term_query("merg", K, lang="french"),
+        "ft_hyph_compound": g.hyph_compound_term_query(
+            "custom", _HYPH_PATTERNS, _HYPH_DICT, K),
     }

@@ -2333,6 +2333,97 @@ def _xlit_tk(table: str, lat: str, tgt: str) -> str:
 )"""
 
 
+def hyph_compound_term_query(term: str, patterns: list[str],
+                             dictionary, k: int = 10,
+                             min_word_size: int = 5,
+                             min_subword_size: int = 2,
+                             max_subword_size: int = 15,
+                             table: str = "documents") -> str:
+    """Term query over a HyphenationCompoundWordTokenFilter index
+    (analysis/compound.hyphenation_* — HyphenationCompoundWordToken
+    Filter.cs + Hyphenation/HyphenationTree.cs): the oracle re-runs the
+    Liang interletter algorithm over the '.'-framed vocabulary, derives
+    hyphen points (odd max values, remain=push=1), enumerates point
+    pairs within the subword bounds, applies the dictionary (with the
+    reference's genitive one-shorter fallback), and stacks the parts at
+    the compound's position (they count toward dl, like synonyms).
+    Letters-only tokens decompose (the corpus contract; the default
+    classmap is exercised in pytest)."""
+    # flatten patterns into (letters, plen, k0, v) rows, zeros dropped
+    pmk = []
+    for pat in patterns:
+        letters, vals = [], [0]
+        for ch in pat:
+            if ch.isdigit():
+                vals[-1] = int(ch)
+            else:
+                letters.append(ch)
+                vals.append(0)
+        ls = "".join(letters)
+        for k0, v in enumerate(vals):
+            if v > 0:
+                pmk.append((ls, len(ls), k0, v))
+    pmk_vals = ", ".join(f"('{p[0]}', {p[1]}, {p[2]}, {p[3]})"
+                         for p in pmk)
+    dic_list = "[" + ", ".join(f"'{w.lower()}'"
+                               for w in sorted(dictionary)) + "]"
+    return f"""WITH
+tk AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_transform(
+                 regexp_extract_all(lower(text), '{_STD_ALT_SQL}'),
+                 t -> {_STD_XF}) AS toks
+        FROM {table})
+),
+tok_f AS (
+  SELECT * FROM tk
+  WHERE length(term) <= 255 AND term NOT IN ({STOPLIST_SQL})
+),
+pmk(letters, plen, k0, v) AS (SELECT * FROM (VALUES {pmk_vals})),
+hv AS (SELECT DISTINCT term FROM tok_f
+       WHERE regexp_matches(term, '^[a-z]+$')
+         AND length(term) >= {min_word_size}),
+fr AS (SELECT term, '.' || term || '.' AS f, length(term) AS n FROM hv),
+ilv AS (  -- interletter max values at framed positions j
+  SELECT f.term, u.i + p.k0 AS j, max(p.v) AS il
+  FROM fr f, unnest(range(0, f.n + 1)) AS u(i)
+  JOIN pmk p ON substr(f.f, u.i + 1, p.plen) = p.letters
+  GROUP BY f.term, u.i + p.k0),
+pts AS (  -- odd values -> hyphen points i = j - 1 in [1, n-1]
+  SELECT f.term, f.n, ilv.j - 1 AS pt
+  FROM ilv JOIN fr f USING (term)
+  WHERE ilv.il % 2 = 1 AND ilv.j - 1 BETWEEN 1 AND f.n - 1),
+hyl AS (SELECT term, n, [0] || list_sort(list(pt)) || [n] AS hyp
+        FROM pts GROUP BY term, n),
+parts AS (  -- DecomposeInternal pair walk, duplicates preserved
+  SELECT term,
+    CASE WHEN list_contains({dic_list}, full_part) THEN full_part
+         WHEN list_contains({dic_list}, short_part) THEN short_part
+         END AS part
+  FROM (
+    SELECT h.term,
+           substr(h.term, h.hyp[a.a] + 1,
+                  h.hyp[b.b] - h.hyp[a.a]) AS full_part,
+           substr(h.term, h.hyp[a.a] + 1,
+                  h.hyp[b.b] - h.hyp[a.a] - 1) AS short_part
+    FROM hyl h,
+         unnest(range(1, len(h.hyp) + 1)) AS a(a),
+         unnest(range(1, len(h.hyp) + 1)) AS b(b)
+    WHERE b.b > a.a
+      AND h.hyp[b.b] - h.hyp[a.a] BETWEEN {min_subword_size}
+                                      AND {max_subword_size})),
+tokens AS (
+  SELECT doc_id, term FROM tok_f
+  UNION ALL
+  SELECT t.doc_id, p.part AS term
+  FROM tok_f t JOIN parts p USING (term)
+  WHERE p.part IS NOT NULL
+),
+{_bm25_tail(table, term, k)}"""
+
+
 def _bm25_tail(table: str, term: str, k: int) -> str:
     """dl/st/post/dfs over a `tokens(doc_id, term)` CTE + scored SELECT."""
     return f"""dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),

@@ -72,3 +72,83 @@ def test_auto_stopwords_derivation(spark):
     assert stops == {"common"}
     an = auto_stop_analyzer(stops)
     assert an("common rare w1") == [("rare", 1), ("w1", 2)]  # hole at 0
+
+
+# ---- HyphenationCompoundWordTokenFilter (round 5) ---------------------
+
+def test_hyphenation_points_and_framing():
+    from lucenenet_spark.analysis.compound import HyphenationPatterns
+    hy = HyphenationPatterns(["soft1ware", "ware1up", "up1date"])
+    # synthetic 0/len endpoints exactly like Hyphenation.cs
+    assert hy.hyphenate("softwareupdate") == [0, 4, 8, 10, 14]
+    # remain/push bounds: a point at index 0 or len is never emitted
+    hy2 = HyphenationPatterns(["1soft", "date1"])
+    assert hy2.hyphenate("softwaredate") is None
+    # word-boundary patterns match against the '.' frame
+    hy3 = HyphenationPatterns([".so2f3t"])
+    assert hy3.hyphenate("software") == [0, 3, 8]
+
+
+def test_hyphenation_normalization_quirks():
+    from lucenenet_spark.analysis.compound import HyphenationPatterns
+    hy = HyphenationPatterns(["soft1ware"])
+    # uppercase normalized through the classes map
+    assert hy.hyphenate("SoftWare") == [0, 4, 8]
+    # leading non-letters are skipped, points shifted by the skip
+    assert hy.hyphenate("--software") == [0, 6, 8]
+    # trailing non-letters dropped; interior non-letter -> None
+    assert hy.hyphenate("software--") == [0, 4, 8]
+    assert hy.hyphenate("soft-ware") is None
+    # too short for remain+push
+    assert hy.hyphenate("a") is None
+
+
+def test_hyphenation_exceptions_list():
+    from lucenenet_spark.analysis.compound import HyphenationPatterns
+    hy = HyphenationPatterns(["soft1ware"],
+                             exceptions=["soft-wareup-date"])
+    # the exception overrides the pattern machinery entirely
+    assert hy.hyphenate("softwareupdate") == [0, 4, 10, 14]
+    # exception points obey remain <= j < len - push (strict <)
+    hy2 = HyphenationPatterns([], exceptions=["softwar-e"])
+    assert hy2.hyphenate("software") is None
+
+
+def test_hyphenation_decompose_matches_reference_loop():
+    from lucenenet_spark.analysis.compound import (
+        HyphenationPatterns, hyphenation_decompose)
+    hy = HyphenationPatterns(["soft1ware", "ware1up", "up1date"])
+    dic = {"soft", "software", "ware", "update"}
+    assert hyphenation_decompose("softwareupdate", hy, dic) == [
+        "soft", "software", "ware", "update"]
+    # onlyLongestMatch keeps ONE longest per start point
+    assert hyphenation_decompose("softwareupdate", hy, dic,
+                                 only_longest_match=True) == [
+        "software", "ware", "update"]
+    # min_word_size gate passes short tokens through undecomposed
+    assert hyphenation_decompose("soft", hy, dic) == []
+    # maxSubwordSize break: 'software' (8) skipped when max is 7
+    assert hyphenation_decompose("softwareupdate", hy, dic,
+                                 max_subword_size=7) == [
+        "soft", "ware", "update"]
+    # genitive-s quirk: part one char shorter tried WITHOUT re-checking
+    # minSubwordSize
+    hy2 = HyphenationPatterns(["work1s", "s1shop"])
+    dic2 = {"work", "shop"}
+    # (0,4)='work', (0,5)='works'->shorter 'work' AGAIN (the reference
+    # emits the duplicate), (5,9)='shop'
+    assert hyphenation_decompose("worksshop", hy2, dic2) == [
+        "work", "work", "shop"]
+
+
+def test_hyphenation_analyzer_stacks_parts():
+    from lucenenet_spark.analysis.compound import (
+        HyphenationPatterns, hyphenation_compound_analyzer)
+    hy = HyphenationPatterns(["soft1ware"])
+    an = hyphenation_compound_analyzer(hy, {"soft", "ware"})
+    toks = an("the softwareplan runs")
+    # stop filter holes preserved; parts at the compound's position.
+    # only 'soft' decomposes: the single hyphen point is at 4, so no
+    # part starts at 'ware' (no point at 8)
+    assert ("softwareplan", 1) in toks
+    assert ("soft", 1) in toks and ("ware", 1) not in toks
