@@ -208,3 +208,66 @@ class TestStopSetParity:
             f"{REF}/src/contrib/Analyzers/Fr/FrenchAnalyzer.cs",
             "FRENCH_STOP_WORDS")
         assert FRENCH_STOP_WORDS == ref
+
+
+# ---- legacy German (Caumanns) stemmer + DIN2 variant (round 5) --------
+
+GERMAN_DATA = "/root/reference/test/contrib/Analyzers/De/data.txt"
+GERMAN_DIN2 = "/root/reference/test/contrib/Analyzers/De/data_din2.txt"
+
+
+def _parse_de(path):
+    import pathlib
+    out = []
+    for ln in pathlib.Path(path).read_text(
+            encoding="utf-8-sig").splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        word, want = ln.split(";")
+        out.append((word, want))
+    return out
+
+
+def test_german_legacy_reference_goldens():
+    """Every case from the reference's own
+    test/contrib/Analyzers/De/data.txt (TestGermanStemFilter.cs)."""
+    from lucenenet_spark.analysis.german import german_legacy_stem
+    cases = _parse_de(GERMAN_DATA)
+    assert len(cases) >= 30
+    bad = [(w, want, german_legacy_stem(w))
+           for w, want in cases if german_legacy_stem(w) != want]
+    assert not bad, bad
+
+
+def test_german_din2_reference_goldens():
+    from lucenenet_spark.analysis.german import german_din2_stem
+    cases = _parse_de(GERMAN_DIN2)
+    assert len(cases) >= 4
+    bad = [(w, want, german_din2_stem(w))
+           for w, want in cases if german_din2_stem(w) != want]
+    assert not bad, bad
+
+
+def test_german_legacy_quirks():
+    from lucenenet_spark.analysis.german import (
+        german_din2_stem, german_legacy_stem)
+    # non-stemmable (digit) comes back LOWERCASED (Stem lowercases
+    # before the IsStemmable gate)
+    assert german_legacy_stem("Ab1") == "ab1"
+    # DIN2 guards the reference's c-1 crash on leading 'e'
+    assert isinstance(german_din2_stem("essen"), str)
+    # gege particle collapse
+    assert german_legacy_stem("gegeben") == german_legacy_stem("geben") \
+        or "ge" in german_legacy_stem("gegeben")
+
+
+def test_german_legacy_analyzer_chain():
+    from lucenenet_spark.analysis.german import german_legacy_analyzer
+    an = german_legacy_analyzer()
+    toks = an("der Tisch und die Tische")
+    # stop words (der/und/die) leave holes; Tisch/Tische conflate
+    assert toks == [("tisch", 1), ("tisch", 4)]
+    # exclusion set passes through unstemmed
+    an2 = german_legacy_analyzer(exclusions=frozenset({"tische"}))
+    assert an2("Tische")[0][0] == "tische"
