@@ -330,6 +330,18 @@ def _ft_snowball_fr(spark, sf_dir):
         ast.Term("merg"), K)
 
 
+def _ft_snowball_da(spark, sf_dir):
+    # danish main_suffix es/e within R1: merges/merge -> 'merg'
+    return _snowball_ext_searcher(spark, sf_dir, "danish").search(
+        ast.Term("merg"), K)
+
+
+def _ft_snowball_no(spark, sf_dir):
+    # norwegian main_suffix es/e within R1: merges/merge -> 'merg'
+    return _snowball_ext_searcher(spark, sf_dir, "norwegian").search(
+        ast.Term("merg"), K)
+
+
 def _cjk_translit(s: str) -> str:
     return s.translate(str.maketrans(sqlgen.CJK_LAT36, sqlgen.CJK_HAN36))
 
@@ -1362,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snowball_pt": _ft_snowball_pt,
         "ft_snowball_it": _ft_snowball_it,
         "ft_snowball_fr": _ft_snowball_fr,
+        "ft_snowball_da": _ft_snowball_da,
+        "ft_snowball_no": _ft_snowball_no,
         # HyphenationCompoundWordTokenFilter decompounding
         "ft_hyph_compound": _ft_hyph_compound,
     }
@@ -1551,6 +1565,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_snowball_pt": g.snowball_term_query("scan", K, lang="portuguese"),
         "ft_snowball_it": g.snowball_term_query("tabl", K, lang="italian"),
         "ft_snowball_fr": g.snowball_term_query("merg", K, lang="french"),
+        "ft_snowball_da": g.snowball_term_query("merg", K, lang="danish"),
+        "ft_snowball_no": g.snowball_term_query("merg", K, lang="norwegian"),
         "ft_hyph_compound": g.hyph_compound_term_query(
             "custom", _HYPH_PATTERNS, _HYPH_DICT, K),
     }

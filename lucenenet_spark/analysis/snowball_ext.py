@@ -1,5 +1,6 @@
-"""contrib Snowball breadth: Swedish, Dutch, Spanish, Portuguese,
-Italian, French (VERDICT r4 task #2).
+"""contrib Snowball breadth: Swedish, Danish, Norwegian, Dutch,
+Spanish, Portuguese, Italian, French (VERDICT r4 task #2 + the
+Scandinavian remainder).
 
 Each stemmer is pinned to the VARIANT the reference's generated code
 ships (src/contrib/Snowball/SF/Snowball/Ext/{Swedish,Dutch,Spanish,
@@ -154,6 +155,113 @@ def swedish_stem(word: str) -> str:
             w = w[:-len(suf)] + "lös"
         else:
             w = w[:-len(suf)] + "full"
+    return w
+
+
+# ---------------------------------------------------------------- Danish
+# DanishStemmer.cs: R1 (min 3), main_suffix within R1 (pattern a),
+# consonant_pair within R1 (delete LAST letter), other_suffix (igst
+# prelude with no region gate, among within R1, consonant_pair retried
+# after a delete), undouble (equal trailing consonants, only the LAST
+# char must sit in R1).
+
+DA_VOWELS = "aeiouyåæø"
+# g_s_ending bitset {239,254,42,3,0*12,16} over [a..å]
+DA_S_ENDING = frozenset("abcdfghjklmnoprtvyzå")
+DA_MAIN = [
+    ("hed", 1), ("ethed", 1), ("ered", 1), ("e", 1), ("erede", 1),
+    ("ende", 1), ("erende", 1), ("ene", 1), ("erne", 1), ("ere", 1),
+    ("en", 1), ("heden", 1), ("eren", 1), ("er", 1), ("heder", 1),
+    ("erer", 1), ("s", 2), ("heds", 1), ("es", 1), ("endes", 1),
+    ("erendes", 1), ("enes", 1), ("ernes", 1), ("eres", 1),
+    ("ens", 1), ("hedens", 1), ("erens", 1), ("ers", 1), ("ets", 1),
+    ("erets", 1), ("et", 1), ("eret", 1),
+]
+DA_PAIRS = ("gd", "dt", "gt", "kt")
+DA_OTHER = [("ig", 1), ("lig", 1), ("elig", 1), ("els", 1),
+            ("løst", 2)]
+
+
+def _da_consonant_pair(w: str, r1: int) -> str:
+    """r_consonant_pair: pair within R1 -> delete the last letter."""
+    if len(w) - 2 >= r1 and w[-2:] in DA_PAIRS:
+        return w[:-1]
+    return w
+
+
+def danish_stem(word: str) -> str:
+    w = word
+    r1 = _r1_min3(w, DA_VOWELS)
+    # main_suffix (within R1)
+    hit = _longest_within(w, DA_MAIN, r1)
+    if hit:
+        suf, code = hit
+        if code == 1:
+            w = w[:-len(suf)]
+        elif len(w) >= 2 and w[-2] in DA_S_ENDING:
+            w = w[:-1]
+    w = _da_consonant_pair(w, r1)
+    # other_suffix: igst -> drop st (no region gate), then among
+    if w.endswith("igst"):
+        w = w[:-2]
+    hit = _longest_within(w, DA_OTHER, r1)
+    if hit:
+        suf, code = hit
+        if code == 1:
+            w = w[:-len(suf)]
+            w = _da_consonant_pair(w, r1)
+        else:  # løst -> løs
+            w = w[:-1]
+    # undouble: trailing equal consonants; only the LAST char needs to
+    # be at a position >= R1 (out_grouping_b under the setlimit; the
+    # eq_v_b comparison runs with the limit restored)
+    if (len(w) >= 2 and w[-1] == w[-2] and w[-1] not in DA_VOWELS
+            and len(w) - 1 >= r1):
+        w = w[:-1]
+    return w
+
+
+# ------------------------------------------------------------- Norwegian
+# NorwegianStemmer.cs: R1 (min 3), main_suffix within R1 (delete / s
+# after s_ending / erte|ert -> 'er'), consonant_pair {dt,vt} within R1
+# (delete last letter), other_suffix within R1 (all delete).  The 2002
+# variant's s_ending includes k unconditionally (no not-after-vowel
+# clause) and has no undouble step.
+
+NO_VOWELS = "aeiouyåæø"
+# g_s_ending bitset {119,127,149,1} over [b..z]
+NO_S_ENDING = frozenset("bcdfghjklmnoprtvyz")
+NO_MAIN = [
+    ("a", 1), ("e", 1), ("ede", 1), ("ande", 1), ("ende", 1),
+    ("ane", 1), ("ene", 1), ("hetene", 1), ("erte", 3), ("en", 1),
+    ("heten", 1), ("ar", 1), ("er", 1), ("heter", 1), ("s", 2),
+    ("as", 1), ("es", 1), ("edes", 1), ("endes", 1), ("enes", 1),
+    ("hetenes", 1), ("ens", 1), ("hetens", 1), ("ers", 1),
+    ("ets", 1), ("et", 1), ("het", 1), ("ert", 3), ("ast", 1),
+]
+NO_PAIRS = ("dt", "vt")
+NO_OTHER = [("leg", 1), ("eleg", 1), ("ig", 1), ("eig", 1),
+            ("lig", 1), ("elig", 1), ("els", 1), ("lov", 1),
+            ("elov", 1), ("slov", 1), ("hetslov", 1)]
+
+
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1 = _r1_min3(w, NO_VOWELS)
+    hit = _longest_within(w, NO_MAIN, r1)
+    if hit:
+        suf, code = hit
+        if code == 1:
+            w = w[:-len(suf)]
+        elif code == 3:  # erte/ert -> er
+            w = w[:-len(suf)] + "er"
+        elif len(w) >= 2 and w[-2] in NO_S_ENDING:
+            w = w[:-1]
+    if len(w) - 2 >= r1 and w[-2:] in NO_PAIRS:
+        w = w[:-1]
+    hit = _longest_within(w, NO_OTHER, r1)
+    if hit:
+        w = w[:-len(hit[0])]
     return w
 
 
@@ -951,6 +1059,14 @@ def _plain_snowball_analyzer(stem_fn):
 
 def swedish_snowball_analyzer():
     return _plain_snowball_analyzer(swedish_stem)
+
+
+def danish_snowball_analyzer():
+    return _plain_snowball_analyzer(danish_stem)
+
+
+def norwegian_snowball_analyzer():
+    return _plain_snowball_analyzer(norwegian_stem)
 
 
 def dutch_snowball_analyzer():

@@ -1,6 +1,7 @@
-"""DuckDB SQL mirrors of the six round-5 Snowball stemmers
-(analysis/snowball_ext.py) — vocabulary-level CTE chains ending in
-stemmap(term, stem), consumed by sqlgen.base_ctes(stemmer=...).
+"""DuckDB SQL mirrors of the round-5 Snowball breadth stemmers
+(analysis/snowball_ext.py: SV/DA/NO/NL/ES/PT/IT/FR) — vocabulary-level
+CTE chains ending in stemmap(term, stem), consumed by
+sqlgen.base_ctes(stemmer=...).
 
 Every among table comes from oracle/tables.py (transcribed copies —
 this module imports NOTHING from the engine packages; the drift test
@@ -133,6 +134,81 @@ stemmap AS MATERIALIZED (  -- other_suffix within R1
          WHEN suf = 'löst' THEN {_chop('w', '4')} || 'lös'
          WHEN suf = 'fullt' THEN {_chop('w', '5')} || 'full'
          ELSE w END AS stem
+  FROM (SELECT term, w, {other} AS suf FROM xv3))"""
+
+
+# --------------------------------------------------------------- Danish
+
+
+def danish_ctes() -> str:
+    v = _cls(T.DA_VOWELS)
+    send = _in("substr(w, length(w) - 1, 1)", T.DA_S_ENDING)
+    main = _suf_case("w", T.DA_MAIN, within="r1")
+    other = _suf_case("w", T.DA_OTHER, within="r1")
+    pairs = "|".join(T.DA_PAIRS)
+    cons = (f"CASE WHEN length({{x}}) - 2 >= r1 "
+            f"AND regexp_matches({{x}}, '({pairs})$') "
+            f"THEN substr({{x}}, 1, length({{x}}) - 1) ELSE {{x}} END")
+    return f"""xv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+xv1 AS MATERIALIZED (SELECT term, term AS w, {_r1_min3_sql('term', v)} AS r1 FROM xv0),
+xv2 AS MATERIALIZED (  -- main_suffix within R1
+  SELECT term, r1,
+    CASE WHEN suf = '' THEN w
+         WHEN suf <> 's' THEN {_chop('w', 'length(suf)')}
+         WHEN length(w) >= 2 AND {send}
+         THEN {_chop('w', '1')}
+         ELSE w END AS w
+  FROM (SELECT term, w, r1, {main} AS suf FROM xv1)),
+xv3 AS MATERIALIZED (  -- consonant pair within R1 (delete last letter)
+  SELECT term, r1, {cons.format(x='w')} AS w FROM xv2),
+xv4 AS MATERIALIZED (  -- other_suffix: igst prelude, no region gate
+  SELECT term, r1,
+    CASE WHEN ends_with(w, 'igst') THEN {_chop('w', '2')} ELSE w END AS w
+  FROM xv3),
+xv5 AS MATERIALIZED (  -- other_suffix among within R1 (+ cons retry)
+  SELECT term, r1,
+    CASE WHEN suf = 'løst' THEN {_chop('w', '1')}
+         WHEN suf <> '' THEN {cons.format(x=_chop('w', 'length(suf)'))}
+         ELSE w END AS w
+  FROM (SELECT term, w, r1, {other} AS suf FROM xv4)),
+stemmap AS MATERIALIZED (  -- undouble: last char in R1, equal pair
+  SELECT term,
+    CASE WHEN length(w) >= 2
+              AND substr(w, length(w), 1) = substr(w, length(w) - 1, 1)
+              AND substr(w, length(w), 1) !~ '[{v}]'
+              AND length(w) - 1 >= r1
+         THEN {_chop('w', '1')} ELSE w END AS stem
+  FROM xv5)"""
+
+
+# ------------------------------------------------------------ Norwegian
+
+
+def norwegian_ctes() -> str:
+    v = _cls(T.NO_VOWELS)
+    send = _in("substr(w, length(w) - 1, 1)", T.NO_S_ENDING)
+    main = _suf_case("w", T.NO_MAIN, within="r1")
+    other = _suf_case("w", T.NO_OTHER, within="r1")
+    pairs = "|".join(T.NO_PAIRS)
+    return f"""xv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+xv1 AS MATERIALIZED (SELECT term, term AS w, {_r1_min3_sql('term', v)} AS r1 FROM xv0),
+xv2 AS MATERIALIZED (  -- main_suffix within R1
+  SELECT term, r1,
+    CASE WHEN suf = '' THEN w
+         WHEN suf IN ('erte', 'ert') THEN {_chop('w', 'length(suf)')} || 'er'
+         WHEN suf <> 's' THEN {_chop('w', 'length(suf)')}
+         WHEN length(w) >= 2 AND {send}
+         THEN {_chop('w', '1')}
+         ELSE w END AS w
+  FROM (SELECT term, w, r1, {main} AS suf FROM xv1)),
+xv3 AS MATERIALIZED (  -- consonant pair within R1 (delete last letter)
+  SELECT term, r1,
+    CASE WHEN length(w) - 2 >= r1 AND regexp_matches(w, '({pairs})$')
+         THEN {_chop('w', '1')} ELSE w END AS w
+  FROM xv2),
+stemmap AS MATERIALIZED (  -- other_suffix within R1 (all delete)
+  SELECT term,
+    CASE WHEN suf <> '' THEN {_chop('w', 'length(suf)')} ELSE w END AS stem
   FROM (SELECT term, w, {other} AS suf FROM xv3))"""
 
 

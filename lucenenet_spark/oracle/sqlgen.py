@@ -340,6 +340,8 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
         from . import snowball_sql
         builder = {
             "swedish": snowball_sql.swedish_ctes,
+            "danish": snowball_sql.danish_ctes,
+            "norwegian": snowball_sql.norwegian_ctes,
             "dutch": snowball_sql.dutch_ctes,
             "spanish": snowball_sql.spanish_ctes,
             "portuguese": snowball_sql.portuguese_ctes,

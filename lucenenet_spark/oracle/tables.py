@@ -294,6 +294,41 @@ SV_PAIRS = ('dd', 'gd', 'nn', 'dt', 'gt', 'kt', 'tt')
 
 SV_OTHER = [('ig', 1), ('lig', 1), ('els', 1), ('fullt', 3), ('löst', 2)]
 
+DA_VOWELS = 'aeiouyåæø'
+
+DA_S_ENDING = frozenset(['a', 'b', 'c', 'd', 'f', 'g', 'h', 'j', 'k', 'l', 'm', 'n', 'o',
+ 'p', 'r', 't', 'v', 'y', 'z', 'å'])
+
+DA_MAIN = [('hed', 1), ('ethed', 1), ('ered', 1), ('e', 1), ('erede', 1),
+ ('ende', 1), ('erende', 1), ('ene', 1), ('erne', 1), ('ere', 1),
+ ('en', 1), ('heden', 1), ('eren', 1), ('er', 1), ('heder', 1),
+ ('erer', 1), ('s', 2), ('heds', 1), ('es', 1), ('endes', 1),
+ ('erendes', 1), ('enes', 1), ('ernes', 1), ('eres', 1), ('ens', 1),
+ ('hedens', 1), ('erens', 1), ('ers', 1), ('ets', 1), ('erets', 1),
+ ('et', 1), ('eret', 1)]
+
+DA_PAIRS = ('gd', 'dt', 'gt', 'kt')
+
+DA_OTHER = [('ig', 1), ('lig', 1), ('elig', 1), ('els', 1), ('løst', 2)]
+
+NO_VOWELS = 'aeiouyåæø'
+
+NO_S_ENDING = frozenset(['b', 'c', 'd', 'f', 'g', 'h', 'j', 'k', 'l', 'm', 'n', 'o', 'p',
+ 'r', 't', 'v', 'y', 'z'])
+
+NO_MAIN = [('a', 1), ('e', 1), ('ede', 1), ('ande', 1), ('ende', 1),
+ ('ane', 1), ('ene', 1), ('hetene', 1), ('erte', 3), ('en', 1),
+ ('heten', 1), ('ar', 1), ('er', 1), ('heter', 1), ('s', 2),
+ ('as', 1), ('es', 1), ('edes', 1), ('endes', 1), ('enes', 1),
+ ('hetenes', 1), ('ens', 1), ('hetens', 1), ('ers', 1), ('ets', 1),
+ ('et', 1), ('het', 1), ('ert', 3), ('ast', 1)]
+
+NO_PAIRS = ('dt', 'vt')
+
+NO_OTHER = [('leg', 1), ('eleg', 1), ('ig', 1), ('eig', 1), ('lig', 1),
+ ('elig', 1), ('els', 1), ('lov', 1), ('elov', 1), ('slov', 1),
+ ('hetslov', 1)]
+
 NL_VOWELS = 'aeiouyè'
 
 NL_ACCENTS = {'á': 'a',

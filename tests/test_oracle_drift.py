@@ -64,6 +64,8 @@ def test_snowball_ext_copies_match_engine():
     from lucenenet_spark.analysis import snowball_ext as X
     for name in (
         "SV_VOWELS", "SV_S_ENDING", "SV_MAIN", "SV_PAIRS", "SV_OTHER",
+        "DA_VOWELS", "DA_S_ENDING", "DA_MAIN", "DA_PAIRS", "DA_OTHER",
+        "NO_VOWELS", "NO_S_ENDING", "NO_MAIN", "NO_PAIRS", "NO_OTHER",
         "NL_VOWELS", "NL_ACCENTS", "NL_STEP1", "NL_D_SUFFIX",
         "ES_VOWELS", "ES_PRON", "ES_PRE_MARK", "ES_MARK_REPL", "ES_STD",
         "ES_A3", "ES_A4", "ES_A5", "ES_Y_VERB", "ES_VERB",

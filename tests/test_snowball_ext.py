@@ -24,6 +24,46 @@ SV = [
     ("de", "de"), ("dag", "dag"),
 ]
 
+DA = [
+    # main_suffix within R1
+    ("indbydelse", "indbyd"), ("kendelse", "kend"),
+    ("afstanden", "afstand"), ("lovene", "lov"),
+    ("verdens", "verd"),
+    # bare-s with the s_ending gate (k passes, i fails)
+    ("parks", "park"), ("tennis", "tennis"),
+    # igst prelude (no region gate) + among + undouble
+    ("billigst", "bil"), ("vanskeligst", "vansk"),
+    # other_suffix els + undouble after main
+    ("undersøgelse", "undersøg"),
+    # consonant_pair gt within R1 deletes the last letter, then 'ig'
+    ("gyldigt", "gyld"),
+    # undouble needs only the LAST char in R1
+    ("hallen", "hal"),
+    # løst -> løs (within R1); bare 'løst' has no R1 room
+    ("arbejdsløst", "arbejdsløs"), ("løst", "løst"),
+    # short word: R1 floor of 3
+    ("dag", "dag"),
+]
+
+NO = [
+    ("havnedistriktene", "havnedistrikt"), ("forlengelse", "forleng"),
+    ("avdelingens", "avdeling"),
+    # no igst rule in Norwegian: 'e' main suffix only
+    ("billigste", "billigst"),
+    # erte/ert -> er
+    ("serverte", "server"), ("servert", "server"),
+    # s_ending includes k unconditionally in the 2002 variant
+    ("verks", "verk"),
+    # consonant pair dt within R1
+    ("sendt", "send"),
+    # other_suffix hetslov family: the full suffix pokes out of R1,
+    # setlimit falls through to the shorter 'slov'
+    ("hetslov", "het"),
+    ("rettighetslov", "rettig"),
+    # no undouble step
+    ("klokken", "klokk"), ("hopper", "hopp"),
+]
+
 NL = [
     ("lichamelijk", "licham"), ("lichamelijke", "licham"),
     ("gekken", "gek"),           # en_ending + undouble
@@ -78,6 +118,16 @@ def test_swedish(word, want):
     assert S.swedish_stem(word) == want
 
 
+@pytest.mark.parametrize("word,want", DA)
+def test_danish(word, want):
+    assert S.danish_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", NO)
+def test_norwegian(word, want):
+    assert S.norwegian_stem(word) == want
+
+
 @pytest.mark.parametrize("word,want", NL)
 def test_dutch(word, want):
     assert S.dutch_stem(word) == want
@@ -106,7 +156,8 @@ def test_french(word, want):
 def test_stemmers_idempotent_on_stems():
     """A stem re-fed to its stemmer must not crash and must stay a
     str (not necessarily a fixpoint — Snowball is not idempotent)."""
-    for fn, words in ((S.swedish_stem, SV), (S.dutch_stem, NL),
+    for fn, words in ((S.swedish_stem, SV), (S.danish_stem, DA),
+                      (S.norwegian_stem, NO), (S.dutch_stem, NL),
                       (S.spanish_stem, ES), (S.portuguese_stem, PT),
                       (S.italian_stem, IT), (S.french_stem, FR)):
         for w, want in words:

@@ -27,6 +27,24 @@ WORDS = {
         "vackraste", "vackrast", "trygghetens", "papperet", "växt",
         "skorna", "barnens", "bilarnas", "äpplet",
     ],
+    "danish": COMMON + [
+        "indbydelse", "kendelse", "undersøgelse", "billigst",
+        "vanskeligst", "friskhed", "sikkerhed", "gyldigt",
+        "mærkeligt", "afstanden", "lovene", "loven", "alderen",
+        "verdens", "hallen", "klubben", "arbejdsløst", "kærlighed",
+        "kærligheden", "følelsen", "følelserne", "møderne",
+        "spørgsmålet", "øjeblikkets", "erklærede", "bekendtgørelse",
+        "igst", "løst", "høstes", "tættere",
+    ],
+    "norwegian": COMMON + [
+        "havnedistriktene", "heldigvis", "forlengelse",
+        "avdelingens", "billigste", "epler", "erklærte", "klokken",
+        "hopper", "lovene", "hetslov", "naturlig", "naturlige",
+        "vanskeligere", "forskjellige", "muligheter", "mulighetene",
+        "serverte", "servert", "kjærlighetens", "arbeidsledighet",
+        "spørsmålet", "øyeblikkets", "størrelse", "ansvarlig",
+        "egenskaper", "vitenskapelig", "eig", "slov",
+    ],
     "dutch": COMMON + [
         "lichamelijk", "lichamelijke", "gekken", "gemen", "vuren",
         "huizen", "aardappelen", "heerlijkheden", "baarden",
@@ -81,6 +99,8 @@ WORDS = {
 
 CTES = {
     "swedish": Q.swedish_ctes,
+    "danish": Q.danish_ctes,
+    "norwegian": Q.norwegian_ctes,
     "dutch": Q.dutch_ctes,
     "spanish": Q.spanish_ctes,
     "portuguese": Q.portuguese_ctes,
@@ -89,6 +109,8 @@ CTES = {
 }
 STEMS = {
     "swedish": X.swedish_stem,
+    "danish": X.danish_stem,
+    "norwegian": X.norwegian_stem,
     "dutch": X.dutch_stem,
     "spanish": X.spanish_stem,
     "portuguese": X.portuguese_stem,
@@ -136,6 +158,8 @@ def test_sql_mirror_matches_python_on_corpus_vocab():
 
 ALPHABETS = {
     "swedish": "abdefghiklmnorstuvyäåö",
+    "danish": "abdefghiklmnorstuvyzåæø",
+    "norwegian": "abdefghiklmnorstuvyzåæø",
     "dutch": "abcdeghijklmnoprstuvyèáëï",
     "spanish": "abcdeghilmnopqrstuvyáéíóúüñ",
     "portuguese": "abcdeghilmnopqrstuvçãõáéêôí",
