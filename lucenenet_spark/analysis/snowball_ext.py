@@ -265,6 +265,179 @@ def norwegian_stem(word: str) -> str:
     return w
 
 
+# --------------------------------------------------------------- Finnish
+# FinnishStemmer.cs: standard R1/R2, particle_etc, possessive,
+# case_ending (an among whose den/seen/tten/siin entries carry r_VI /
+# r_LONG condition callbacks evaluated UNDER the R1 setlimit, with
+# in-among fallback to the 'n' parent), other_endings (R2), i_plural |
+# t_plural gated on the ending_removed flag, tidy (four R1-limited
+# fixups + an unlimited last-consonant undouble through trailing
+# vowels).
+
+FI_VOWELS = "aeiouyäö"
+FI_V_RESTR = "aeiouäö"      # g_V: the restricted vowel set (no y)
+FI_AEI = "aeiä"
+FI_PARTICLE_END = "aeinotuyäö"   # g_particle_end = vowels + n + t
+FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+FI_PARTICLE = [("pa", 1), ("sti", 2), ("kaan", 1), ("han", 1),
+               ("kin", 1), ("hän", 1), ("kään", 1), ("ko", 1),
+               ("pä", 1), ("kö", 1)]
+FI_POSS = [("nsa", 3), ("mme", 3), ("nne", 3), ("ni", 2), ("si", 1),
+           ("an", 4), ("en", 6), ("än", 5), ("nsä", 3)]
+FI_A1 = ("lla", "na", "ssa", "ta", "lta", "sta")
+FI_A2 = ("llä", "nä", "ssä", "tä", "ltä", "stä")
+FI_A3 = ("lle", "ine")
+# (suffix, switch code, among-condition callback name or None)
+FI_CASE = [
+    ("a", 8, None), ("lla", -1, None), ("na", -1, None),
+    ("ssa", -1, None), ("ta", -1, None), ("lta", -1, None),
+    ("sta", -1, None), ("tta", 9, None), ("lle", -1, None),
+    ("ine", -1, None), ("ksi", -1, None), ("n", 7, None),
+    ("han", 1, None), ("den", -1, "VI"), ("seen", -1, "LONG"),
+    ("hen", 2, None), ("tten", -1, "VI"), ("hin", 3, None),
+    ("siin", -1, "VI"), ("hon", 4, None), ("hän", 5, None),
+    ("hön", 6, None), ("ä", 8, None), ("llä", -1, None),
+    ("nä", -1, None), ("ssä", -1, None), ("tä", -1, None),
+    ("ltä", -1, None), ("stä", -1, None), ("ttä", 9, None),
+]
+FI_OTHER = [("eja", -1), ("mma", 1), ("imma", -1), ("mpa", 1),
+            ("impa", -1), ("mmi", 1), ("immi", -1), ("mpi", 1),
+            ("impi", -1), ("ejä", -1), ("mmä", 1), ("immä", -1),
+            ("mpä", 1), ("impä", -1)]
+FI_TPLUR = [("mma", 1), ("imma", -1)]
+
+
+def _fi_case_match(w: str, r1: int):
+    """find_among_b(a_6) under the R1 setlimit: longest suffix within
+    R1 whose condition callback (evaluated under the SAME limit)
+    passes; a failed callback or region falls through to the next
+    shorter candidate (e.g. a failed 'seen' falls back to 'n')."""
+    best = None
+    for suf, code, cb in FI_CASE:
+        p = len(w) - len(suf)
+        if not (w.endswith(suf) and p >= r1):
+            continue
+        if cb == "VI":
+            # 'i' then a restricted vowel, both within the limit
+            if not (p - 2 >= r1 and w[p - 1] == "i"
+                    and w[p - 2] in FI_V_RESTR):
+                continue
+        elif cb == "LONG":
+            if not (p - 2 >= r1 and w[p - 2:p] in FI_LONG):
+                continue
+        if best is None or len(suf) > len(best[0]):
+            best = (suf, code)
+    return best
+
+
+def finnish_stem(word: str) -> str:
+    w = word
+    r1 = _r1_std(w, FI_VOWELS)
+    r2 = _r2_from(w, FI_VOWELS, r1)
+    ending_removed = False
+
+    # particle_etc (within R1)
+    hit = _longest_within(w, FI_PARTICLE, r1)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1:
+            if p >= 1 and w[p - 1] in FI_PARTICLE_END:
+                w = w[:p]
+        elif p >= r2:  # sti: R2
+            w = w[:p]
+
+    # possessive (within R1)
+    hit = _longest_within(w, FI_POSS, r1)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if code == 1:  # si, not preceded by k
+            if not w[:p].endswith("k"):
+                w = w[:p]
+        elif code == 2:  # ni; then a trailing kse -> ksi
+            w = w[:p]
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif code == 3:  # nsa/nsä/mme/nne
+            w = w[:p]
+        elif code == 4:  # an after lla/na/ssa/ta/lta/sta
+            if w[:p].endswith(FI_A1):
+                w = w[:p]
+        elif code == 5:  # än after llä/nä/ssä/tä/ltä/stä
+            if w[:p].endswith(FI_A2):
+                w = w[:p]
+        elif code == 6:  # en after lle/ine
+            if w[:p].endswith(FI_A3):
+                w = w[:p]
+
+    # case ending (within R1; switch gates do NOT fall through)
+    hit = _fi_case_match(w, r1)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        ok, extra = True, 0
+        if code in (1, 2, 3, 4, 5, 6):
+            ok = w[:p].endswith("aeioäö"[code - 1])
+        elif code == 7:
+            # n: if preceded by LONG or 'ie' (limit restored here),
+            # extend the deletion one char left
+            if p >= 1 and (w[p - 2:p] in FI_LONG
+                           or w[:p].endswith("ie")):
+                extra = 1
+        elif code == 8:
+            # a/ä preceded by vowel-after-consonant
+            ok = (p >= 2 and w[p - 1] in FI_VOWELS
+                  and w[p - 2] not in FI_VOWELS)
+        elif code == 9:
+            ok = w[:p].endswith("e")
+        if ok:
+            w = w[:p - extra]
+            ending_removed = True
+
+    # other_endings (within R2); mma blocked after 'po'
+    hit = _longest_within(w, FI_OTHER, r2)
+    if hit:
+        suf, code = hit
+        p = len(w) - len(suf)
+        if not (code == 1 and w[:p].endswith("po")):
+            w = w[:p]
+
+    if ending_removed:
+        # i_plural (within R1)
+        if w and w[-1] in "ij" and len(w) - 1 >= r1:
+            w = w[:-1]
+    else:
+        # t_plural: t after a vowel, both within R1
+        if (w.endswith("t") and len(w) - 2 >= r1
+                and w[-2] in FI_VOWELS):
+            w = w[:-1]
+            hit = _longest_within(w, FI_TPLUR, r2)
+            if hit:
+                suf, code = hit
+                p = len(w) - len(suf)
+                if not (code == 1 and w[:p].endswith("po")):
+                    w = w[:p]
+
+    # tidy — four R1-limited fixups, applied sequentially
+    if len(w) - 2 >= r1 and w[-2:] in FI_LONG:
+        w = w[:-1]
+    if (len(w) - 2 >= r1 and w[-1] in FI_AEI
+            and w[-2] not in FI_VOWELS):
+        w = w[:-1]
+    if len(w) - 2 >= r1 and w.endswith(("oj", "uj")):
+        w = w[:-1]
+    if len(w) - 2 >= r1 and w.endswith("jo"):
+        w = w[:-1]
+    # unlimited: undouble the last consonant through trailing vowels
+    i = len(w)
+    while i > 0 and w[i - 1] in FI_VOWELS:
+        i -= 1
+    if i >= 2 and w[i - 1] not in FI_VOWELS and w[i - 2] == w[i - 1]:
+        w = w[:i - 1] + w[i:]
+    return w
+
+
 # ---------------------------------------------------------------- Dutch
 # DutchStemmer.cs: accent fold, y/i marking, R1 (min 3)/R2,
 # standard_suffix (5 nested stages), postlude.
@@ -1067,6 +1240,10 @@ def danish_snowball_analyzer():
 
 def norwegian_snowball_analyzer():
     return _plain_snowball_analyzer(norwegian_stem)
+
+
+def finnish_snowball_analyzer():
+    return _plain_snowball_analyzer(finnish_stem)
 
 
 def dutch_snowball_analyzer():

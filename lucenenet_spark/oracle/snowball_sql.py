@@ -212,6 +212,167 @@ stemmap AS MATERIALIZED (  -- other_suffix within R1 (all delete)
   FROM (SELECT term, w, {other} AS suf FROM xv3))"""
 
 
+# --------------------------------------------------------------- Finnish
+
+
+def finnish_ctes() -> str:
+    v = _cls(T.FI_VOWELS)
+    vin = lambda e: f"{e} ~ '[{v}]'"  # noqa: E731
+    particle = _suf_case("w", T.FI_PARTICLE, within="r1")
+    poss = _suf_case("w", T.FI_POSS, within="r1")
+    other = _suf_case("w", T.FI_OTHER, within="r2")
+    longs = ",".join(f"'{s}'" for s in T.FI_LONG)
+    longs_ie = longs + ",'ie'"
+    pend = _in("substr(w, length(w) - length(suf), 1)", T.FI_PARTICLE_END)
+    # case among: longest-first arms; den/seen/tten/siin carry their
+    # VI/LONG callback conditions (evaluated under the R1 limit), so a
+    # failed callback falls through to the shorter 'n' arm — exactly
+    # find_among_b's in-trie fallback.
+    case_arms = []
+    for suf, _code, cb in sorted(T.FI_CASE, key=lambda e: -len(e[0])):
+        n = len(suf)
+        cond = (f"ends_with(w, '{suf}') "
+                f"AND length(w) - {n} >= r1")
+        p = f"length(w) - {n}"
+        if cb == "VI":
+            vr = _in(f"substr(w, {p} - 1, 1)", T.FI_V_RESTR)
+            cond += (f" AND {p} - 2 >= r1 AND substr(w, {p}, 1) = 'i'"
+                     f" AND {vr}")
+        elif cb == "LONG":
+            cond += (f" AND {p} - 2 >= r1"
+                     f" AND substr(w, {p} - 1, 2) IN ({longs})")
+        case_arms.append(f"WHEN {cond} THEN '{suf}'")
+    case_suf = "CASE " + " ".join(case_arms) + " ELSE '' END"
+    # switch-code gates per matched suffix (no fallthrough on failure)
+    g16 = {1: "a", 2: "e", 3: "i", 4: "o", 5: "ä", 6: "ö"}
+    gate_arms, act_arms = [], []
+    for suf, code, _cb in T.FI_CASE:
+        p = f"length(w) - {len(suf)}"
+        if code in g16:
+            gate = f"substr(w, {p}, 1) = '{g16[code]}'"
+        elif code == 7:
+            gate = "TRUE"
+        elif code == 8:
+            gate = (f"{p} >= 2 AND {vin(f'substr(w, {p}, 1)')} "
+                    f"AND NOT {vin(f'substr(w, {p} - 1, 1)')}")
+        elif code == 9:
+            gate = f"substr(w, {p}, 1) = 'e'"
+        else:
+            gate = "TRUE"
+        gate_arms.append(f"WHEN '{suf}' THEN ({gate})")
+        if code == 7:
+            act = (f"CASE WHEN {p} >= 2 AND substr(w, {p} - 1, 2) "
+                   f"IN ({longs_ie}) THEN {_chop('w', len(suf) + 1)} "
+                   f"ELSE {_chop('w', len(suf))} END")
+        else:
+            act = _chop("w", len(suf))
+        act_arms.append(f"WHEN '{suf}' THEN {act}")
+    case_gate = "CASE csuf " + " ".join(gate_arms) + " ELSE FALSE END"
+    case_act = "CASE csuf " + " ".join(act_arms) + " ELSE w END"
+    po_block = ("('mma','mpa','mmi','mpi','mmä','mpä')")
+    tp = _suf_case("w", T.FI_TPLUR, within="r2")
+    return f"""xv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+xv1 AS MATERIALIZED (
+  SELECT term, term AS w, {_r1_sql('term', v)} AS r1,
+         {_r2_sql('term', v, _r1_sql('term', v))} AS r2
+  FROM xv0),
+xv2 AS MATERIALIZED (  -- particle_etc within R1
+  SELECT term, r1, r2,
+    CASE WHEN suf = '' THEN w
+         WHEN suf = 'sti'
+         THEN CASE WHEN length(w) - 3 >= r2
+                   THEN {_chop('w', '3')} ELSE w END
+         WHEN length(w) - length(suf) >= 1 AND {pend}
+         THEN {_chop('w', 'length(suf)')}
+         ELSE w END AS w
+  FROM (SELECT term, w, r1, r2, {particle} AS suf FROM xv1)),
+xv3 AS MATERIALIZED (  -- possessive within R1
+  SELECT term, r1, r2,
+    CASE WHEN suf = '' THEN w
+         WHEN suf = 'si'
+         THEN CASE WHEN substr(w, length(w) - 2, 1) = 'k' THEN w
+                   ELSE {_chop('w', '2')} END
+         WHEN suf = 'ni'
+         THEN CASE WHEN ends_with({_chop('w', '2')}, 'kse')
+                   THEN {_chop('w', '3')} || 'i'
+                   ELSE {_chop('w', '2')} END
+         WHEN suf IN ('nsa', 'nsä', 'mme', 'nne')
+         THEN {_chop('w', '3')}
+         WHEN suf = 'an'
+         THEN CASE WHEN regexp_matches({_chop('w', '2')}, '(lla|na|ssa|ta|lta|sta)$')
+                   THEN {_chop('w', '2')} ELSE w END
+         WHEN suf = 'än'
+         THEN CASE WHEN regexp_matches({_chop('w', '2')}, '(llä|nä|ssä|tä|ltä|stä)$')
+                   THEN {_chop('w', '2')} ELSE w END
+         WHEN suf = 'en'
+         THEN CASE WHEN regexp_matches({_chop('w', '2')}, '(lle|ine)$')
+                   THEN {_chop('w', '2')} ELSE w END
+         ELSE w END AS w
+  FROM (SELECT term, w, r1, r2, {poss} AS suf FROM xv2)),
+xv4 AS MATERIALIZED (  -- case ending within R1 (+ ending_removed)
+  SELECT term, r1, r2,
+    CASE WHEN csuf <> '' AND ok THEN {case_act} ELSE w END AS w,
+    (csuf <> '' AND ok) AS er
+  FROM (SELECT term, w, r1, r2, csuf, {case_gate} AS ok
+        FROM (SELECT term, w, r1, r2, {case_suf} AS csuf FROM xv3))),
+xv5 AS MATERIALIZED (  -- other_endings within R2 (po blocks m-forms)
+  SELECT term, r1, r2, er,
+    CASE WHEN suf = '' THEN w
+         WHEN suf IN {po_block}
+              AND ends_with({_chop('w', 'length(suf)')}, 'po') THEN w
+         ELSE {_chop('w', 'length(suf)')} END AS w
+  FROM (SELECT term, w, r1, r2, er, {other} AS suf FROM xv4)),
+xv6 AS MATERIALIZED (  -- i_plural | t_plural part A
+  SELECT term, r1, r2,
+    CASE WHEN er AND regexp_matches(w, '[ij]$')
+              AND length(w) - 1 >= r1
+         THEN {_chop('w', '1')}
+         WHEN tb THEN {_chop('w', '1')}
+         ELSE w END AS w,
+    tb
+  FROM (SELECT term, w, r1, r2, er,
+          (NOT er AND ends_with(w, 't') AND length(w) - 2 >= r1
+           AND {vin("substr(w, length(w) - 1, 1)")}) AS tb
+        FROM xv5)),
+xv7 AS MATERIALIZED (  -- t_plural part B within R2
+  SELECT term, r1, r2,
+    CASE WHEN NOT tb OR suf = '' THEN w
+         WHEN suf = 'mma'
+              AND ends_with({_chop('w', '3')}, 'po') THEN w
+         ELSE {_chop('w', 'length(suf)')} END AS w
+  FROM (SELECT term, w, r1, r2, tb, {tp} AS suf FROM xv6)),
+xv8 AS MATERIALIZED (  -- tidy 1: LONG within R1 -> drop last char
+  SELECT term, r1, r2,
+    CASE WHEN length(w) - 2 >= r1
+              AND substr(w, length(w) - 1, 2) IN ({longs})
+         THEN {_chop('w', '1')} ELSE w END AS w
+  FROM xv7),
+xv9 AS MATERIALIZED (  -- tidy 2: AEI after a consonant, within R1
+  SELECT term, r1, r2,
+    CASE WHEN length(w) - 2 >= r1
+              AND {_in("substr(w, length(w), 1)", T.FI_AEI)}
+              AND NOT {vin("substr(w, length(w) - 1, 1)")}
+         THEN {_chop('w', '1')} ELSE w END AS w
+  FROM xv8),
+xv10 AS MATERIALIZED (  -- tidy 3+4: oj/uj drop j; jo drop o
+  SELECT term, r1,
+    CASE WHEN length(w2) - 2 >= r1 AND ends_with(w2, 'jo')
+         THEN {_chop('w2', '1')} ELSE w2 END AS w
+  FROM (SELECT term, r1,
+          CASE WHEN length(w) - 2 >= r1
+                    AND regexp_matches(w, '(oj|uj)$')
+               THEN {_chop('w', '1')} ELSE w END AS w2
+        FROM xv9)),
+stemmap AS MATERIALIZED (  -- tidy 5: undouble last consonant
+  SELECT term,
+    CASE WHEN li >= 2 AND substr(w, li, 1) = substr(w, li - 1, 1)
+         THEN substr(w, 1, li - 1) || substr(w, li + 1)
+         ELSE w END AS stem
+  FROM (SELECT term, w,
+          length(w) - length(regexp_extract(w, '[{v}]*$')) AS li
+        FROM xv10))"""
+
+
 # ---------------------------------------------------------------- Dutch
 
 

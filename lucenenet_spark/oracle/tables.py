@@ -329,6 +329,45 @@ NO_OTHER = [('leg', 1), ('eleg', 1), ('ig', 1), ('eig', 1), ('lig', 1),
  ('elig', 1), ('els', 1), ('lov', 1), ('elov', 1), ('slov', 1),
  ('hetslov', 1)]
 
+FI_VOWELS = 'aeiouyäö'
+
+FI_V_RESTR = 'aeiouäö'
+
+FI_AEI = 'aeiä'
+
+FI_PARTICLE_END = 'aeinotuyäö'
+
+FI_LONG = ('aa', 'ee', 'ii', 'oo', 'uu', 'ää', 'öö')
+
+FI_PARTICLE = [('pa', 1), ('sti', 2), ('kaan', 1), ('han', 1), ('kin', 1),
+ ('hän', 1), ('kään', 1), ('ko', 1), ('pä', 1), ('kö', 1)]
+
+FI_POSS = [('nsa', 3), ('mme', 3), ('nne', 3), ('ni', 2), ('si', 1),
+ ('an', 4), ('en', 6), ('än', 5), ('nsä', 3)]
+
+FI_A1 = ('lla', 'na', 'ssa', 'ta', 'lta', 'sta')
+
+FI_A2 = ('llä', 'nä', 'ssä', 'tä', 'ltä', 'stä')
+
+FI_A3 = ('lle', 'ine')
+
+FI_CASE = [('a', 8, None), ('lla', -1, None), ('na', -1, None),
+ ('ssa', -1, None), ('ta', -1, None), ('lta', -1, None),
+ ('sta', -1, None), ('tta', 9, None), ('lle', -1, None),
+ ('ine', -1, None), ('ksi', -1, None), ('n', 7, None),
+ ('han', 1, None), ('den', -1, 'VI'), ('seen', -1, 'LONG'),
+ ('hen', 2, None), ('tten', -1, 'VI'), ('hin', 3, None),
+ ('siin', -1, 'VI'), ('hon', 4, None), ('hän', 5, None),
+ ('hön', 6, None), ('ä', 8, None), ('llä', -1, None),
+ ('nä', -1, None), ('ssä', -1, None), ('tä', -1, None),
+ ('ltä', -1, None), ('stä', -1, None), ('ttä', 9, None)]
+
+FI_OTHER = [('eja', -1), ('mma', 1), ('imma', -1), ('mpa', 1), ('impa', -1),
+ ('mmi', 1), ('immi', -1), ('mpi', 1), ('impi', -1), ('ejä', -1),
+ ('mmä', 1), ('immä', -1), ('mpä', 1), ('impä', -1)]
+
+FI_TPLUR = [('mma', 1), ('imma', -1)]
+
 NL_VOWELS = 'aeiouyè'
 
 NL_ACCENTS = {'á': 'a',

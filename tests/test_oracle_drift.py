@@ -66,6 +66,9 @@ def test_snowball_ext_copies_match_engine():
         "SV_VOWELS", "SV_S_ENDING", "SV_MAIN", "SV_PAIRS", "SV_OTHER",
         "DA_VOWELS", "DA_S_ENDING", "DA_MAIN", "DA_PAIRS", "DA_OTHER",
         "NO_VOWELS", "NO_S_ENDING", "NO_MAIN", "NO_PAIRS", "NO_OTHER",
+        "FI_VOWELS", "FI_V_RESTR", "FI_AEI", "FI_PARTICLE_END",
+        "FI_LONG", "FI_PARTICLE", "FI_POSS", "FI_A1", "FI_A2", "FI_A3",
+        "FI_CASE", "FI_OTHER", "FI_TPLUR",
         "NL_VOWELS", "NL_ACCENTS", "NL_STEP1", "NL_D_SUFFIX",
         "ES_VOWELS", "ES_PRON", "ES_PRE_MARK", "ES_MARK_REPL", "ES_STD",
         "ES_A3", "ES_A4", "ES_A5", "ES_Y_VERB", "ES_VERB",

@@ -64,6 +64,27 @@ NO = [
     ("klokken", "klokk"), ("hopper", "hopp"),
 ]
 
+FI = [
+    # case ending ssa/issa + i_plural
+    ("taloissa", "talo"), ("taloista", "talo"), ("talojen", "talo"),
+    # seen after LONG (callback under the R1 limit) + tidy LONG
+    ("taivaaseen", "taiva"), ("huoneeseen", "huone"),
+    # 'n' with the LONG one-more-char extension
+    ("tietoon", "tieto"), ("talouteen", "talout"),
+    # possessive an after ssa, then the ssa case ending
+    ("talossaan", "talo"),
+    # particle ko/kö after particle_end
+    ("onko", "on"), ("menetkö", "mene"),
+    # possessive nsa family
+    ("tekijänsä", "tekij"),
+    # t_plural then tidy AEI + undouble
+    ("suurimmat", "suurim"),
+    # tidy undouble through trailing vowels
+    ("puhuttaessa", "puhutae"),
+    # den falls back to n when VI fails inside the among
+    ("niiden", "niide"),
+]
+
 NL = [
     ("lichamelijk", "licham"), ("lichamelijke", "licham"),
     ("gekken", "gek"),           # en_ending + undouble
@@ -128,6 +149,11 @@ def test_norwegian(word, want):
     assert S.norwegian_stem(word) == want
 
 
+@pytest.mark.parametrize("word,want", FI)
+def test_finnish(word, want):
+    assert S.finnish_stem(word) == want
+
+
 @pytest.mark.parametrize("word,want", NL)
 def test_dutch(word, want):
     assert S.dutch_stem(word) == want
@@ -157,7 +183,8 @@ def test_stemmers_idempotent_on_stems():
     """A stem re-fed to its stemmer must not crash and must stay a
     str (not necessarily a fixpoint — Snowball is not idempotent)."""
     for fn, words in ((S.swedish_stem, SV), (S.danish_stem, DA),
-                      (S.norwegian_stem, NO), (S.dutch_stem, NL),
+                      (S.norwegian_stem, NO), (S.finnish_stem, FI),
+                      (S.dutch_stem, NL),
                       (S.spanish_stem, ES), (S.portuguese_stem, PT),
                       (S.italian_stem, IT), (S.french_stem, FR)):
         for w, want in words:

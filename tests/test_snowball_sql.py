@@ -45,6 +45,19 @@ WORDS = {
         "spørsmålet", "øyeblikkets", "størrelse", "ansvarlig",
         "egenskaper", "vitenskapelig", "eig", "slov",
     ],
+    "finnish": COMMON + [
+        "taloissa", "talojen", "taloja", "talo", "talon", "taloon",
+        "taloihin", "taloista", "kirjastossa", "kirjastoissa",
+        "puhuttaessa", "suurimmat", "suurin", "nopeammin",
+        "kaupunkiin", "kaupungeissa", "tärkeimmät", "edeltäjistään",
+        "edeltäjiinsä", "tekijät", "tekijänsä", "puun", "puissa",
+        "ikkunassa", "ikkunoissa", "onko", "menetkö", "sanoakaan",
+        "kielellä", "kielillä", "poissa", "pojista", "aurinko",
+        "auringon", "taivaaseen", "huoneeseen", "niiden", "maiden",
+        "ystävällisempi", "ystävällisimmät", "nopeasti", "sanoisi",
+        "sanoisiko", "kirjansa", "kirjani", "kirjasi", "taloksensa",
+        "vanhempi", "vanhimmat", "papot", "popot",
+    ],
     "dutch": COMMON + [
         "lichamelijk", "lichamelijke", "gekken", "gemen", "vuren",
         "huizen", "aardappelen", "heerlijkheden", "baarden",
@@ -101,6 +114,7 @@ CTES = {
     "swedish": Q.swedish_ctes,
     "danish": Q.danish_ctes,
     "norwegian": Q.norwegian_ctes,
+    "finnish": Q.finnish_ctes,
     "dutch": Q.dutch_ctes,
     "spanish": Q.spanish_ctes,
     "portuguese": Q.portuguese_ctes,
@@ -111,6 +125,7 @@ STEMS = {
     "swedish": X.swedish_stem,
     "danish": X.danish_stem,
     "norwegian": X.norwegian_stem,
+    "finnish": X.finnish_stem,
     "dutch": X.dutch_stem,
     "spanish": X.spanish_stem,
     "portuguese": X.portuguese_stem,
@@ -160,6 +175,7 @@ ALPHABETS = {
     "swedish": "abdefghiklmnorstuvyäåö",
     "danish": "abdefghiklmnorstuvyzåæø",
     "norwegian": "abdefghiklmnorstuvyzåæø",
+    "finnish": "adehijklmnoprstuvyäö",
     "dutch": "abcdeghijklmnoprstuvyèáëï",
     "spanish": "abcdeghilmnopqrstuvyáéíóúüñ",
     "portuguese": "abcdeghilmnopqrstuvçãõáéêôí",
