@@ -373,6 +373,109 @@ stemmap AS MATERIALIZED (  -- tidy 5: undouble last consonant
         FROM xv10))"""
 
 
+# -------------------------------------------------------------- Romanian
+
+
+def romanian_ctes() -> str:
+    v = _cls(T.RO_VOWELS)
+    vin = lambda e: f"{e} ~ '[{v}]'"  # noqa: E731
+    step0 = _suf_case("w", T.RO_STEP0)
+    combo = _suf_case("w", T.RO_COMBO)
+    combo_repl = ("CASE suf " + " ".join(
+        f"WHEN '{_q(s)}' THEN '{T.RO_COMBO_REPL[c]}'"
+        for s, c in T.RO_COMBO) + " ELSE '' END")
+    std = _suf_case("w", T.RO_STD)
+    verb = _suf_case("w", T.RO_VERB, within="rv")
+    vsuf = _suf_case("w", T.RO_VOWEL_SUF)
+    # suffix -> code maps for the gated actions
+    std1 = [s for s, c in T.RO_STD if c == 1]
+    std2 = [s for s, c in T.RO_STD if c == 2]
+    verb2 = [s for s, c in T.RO_VERB if c == 2]
+    in_list = lambda xs: ",".join(f"'{_q(s)}'" for s in xs)  # noqa: E731
+    return f"""xv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+xrec AS MATERIALIZED (  -- prelude: sequential V[u/i]V marking
+  WITH RECURSIVE r(term, w, i) AS (
+    SELECT term, term AS w, 2 FROM xv0
+    UNION ALL
+    SELECT term,
+      CASE WHEN {vin("substr(w, i - 1, 1)")} AND i < length(w)
+                AND {vin("substr(w, i + 1, 1)")}
+                AND substr(w, i, 1) = 'u'
+           THEN substr(w, 1, i - 1) || 'U' || substr(w, i + 1)
+           WHEN {vin("substr(w, i - 1, 1)")} AND i < length(w)
+                AND {vin("substr(w, i + 1, 1)")}
+                AND substr(w, i, 1) = 'i'
+           THEN substr(w, 1, i - 1) || 'I' || substr(w, i + 1)
+           ELSE w END,
+      i + 1
+    FROM r WHERE i <= length(w))
+  SELECT term, w FROM r
+  QUALIFY row_number() OVER (PARTITION BY term ORDER BY i DESC) = 1),
+xv1 AS MATERIALIZED (
+  SELECT term, w, {_rv_romance_sql('w', v)} AS rv,
+         {_r1_sql('w', v)} AS r1,
+         {_r2_sql('w', v, _r1_sql('w', v))} AS r2
+  FROM xrec),
+xv2 AS MATERIALIZED (  -- step_0 (R1 gate, no fallthrough)
+  SELECT term, rv, r1, r2,
+    CASE WHEN suf = '' OR length(w) - length(suf) < r1 THEN w
+         WHEN suf IN ('ul', 'ului') THEN {_chop('w', 'length(suf)')}
+         WHEN suf = 'aua' THEN {_chop('w', 'length(suf)')} || 'a'
+         WHEN suf IN ('ea', 'ele', 'elor')
+         THEN {_chop('w', 'length(suf)')} || 'e'
+         WHEN suf IN ('iua', 'iei', 'ii', 'ilor', 'iile', 'iilor')
+         THEN {_chop('w', 'length(suf)')} || 'i'
+         WHEN suf = 'ile'
+         THEN CASE WHEN ends_with({_chop('w', '3')}, 'ab') THEN w
+                   ELSE {_chop('w', '3')} || 'i' END
+         WHEN suf = 'atei' THEN {_chop('w', '4')} || 'at'
+         WHEN suf IN ('aţia', 'aţie')
+         THEN {_chop('w', '4')} || 'aţi'
+         ELSE w END AS w
+  FROM (SELECT term, w, rv, r1, r2, {step0} AS suf FROM xv1)),
+xcombo AS MATERIALIZED (  -- repeat combo_suffix (R1)
+  WITH RECURSIVE rc(term, w, rv, r1, r2, rem, n) AS (
+    SELECT term, w, rv, r1, r2, FALSE, 0 FROM xv2
+    UNION ALL
+    SELECT term, {_chop('w', 'length(suf)')} || ({combo_repl}),
+           rv, r1, r2, TRUE, n + 1
+    FROM (SELECT term, w, rv, r1, r2, n, {combo} AS suf FROM rc)
+    WHERE suf <> '' AND length(w) - length(suf) >= r1 AND n < 40)
+  SELECT term, w, rv, r1, r2, rem FROM rc
+  QUALIFY row_number() OVER (PARTITION BY term ORDER BY n DESC) = 1),
+xv3 AS MATERIALIZED (  -- standard_suffix among (R2 gate)
+  SELECT term, rv, r1, r2,
+    CASE WHEN suf = '' OR length(w) - length(suf) < r2 THEN w
+         WHEN suf IN ({in_list(std1)}) THEN {_chop('w', 'length(suf)')}
+         WHEN suf IN ({in_list(std2)})
+         THEN CASE WHEN ends_with({_chop('w', 'length(suf)')}, 'ţ')
+                   THEN {_chop('w', 'length(suf) + 1')} || 't'
+                   ELSE w END
+         ELSE {_chop('w', 'length(suf)')} || 'ist' END AS w,
+    (rem OR (suf <> '' AND length(w) - length(suf) >= r2
+             AND NOT (suf IN ({in_list(std2)})
+                      AND NOT ends_with({_chop('w', 'length(suf)')}, 'ţ'))))
+      AS removed
+  FROM (SELECT term, w, rv, r1, r2, rem, {std} AS suf FROM xcombo)),
+xv4 AS MATERIALIZED (  -- verb_suffix within RV when nothing removed
+  SELECT term, rv,
+    CASE WHEN removed OR suf = '' THEN w
+         WHEN suf IN ({in_list(verb2)}) THEN {_chop('w', 'length(suf)')}
+         WHEN length(w) - length(suf) - 1 >= rv
+              AND (NOT {vin("substr(w, length(w) - length(suf), 1)")}
+                   OR substr(w, length(w) - length(suf), 1) = 'u')
+         THEN {_chop('w', 'length(suf)')}
+         ELSE w END AS w
+  FROM (SELECT term, w, rv, removed, {verb} AS suf FROM xv3)),
+stemmap AS MATERIALIZED (  -- vowel_suffix (RV) + postlude
+  SELECT term,
+    replace(replace(
+      CASE WHEN suf <> '' AND length(w) - length(suf) >= rv
+           THEN {_chop('w', 'length(suf)')} ELSE w END,
+      'I', 'i'), 'U', 'u') AS stem
+  FROM (SELECT term, w, rv, {vsuf} AS suf FROM xv4))"""
+
+
 # ---------------------------------------------------------------- Dutch
 
 

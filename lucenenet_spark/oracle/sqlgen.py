@@ -343,6 +343,7 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
             "danish": snowball_sql.danish_ctes,
             "norwegian": snowball_sql.norwegian_ctes,
             "finnish": snowball_sql.finnish_ctes,
+            "romanian": snowball_sql.romanian_ctes,
             "dutch": snowball_sql.dutch_ctes,
             "spanish": snowball_sql.spanish_ctes,
             "portuguese": snowball_sql.portuguese_ctes,

@@ -69,6 +69,8 @@ def test_snowball_ext_copies_match_engine():
         "FI_VOWELS", "FI_V_RESTR", "FI_AEI", "FI_PARTICLE_END",
         "FI_LONG", "FI_PARTICLE", "FI_POSS", "FI_A1", "FI_A2", "FI_A3",
         "FI_CASE", "FI_OTHER", "FI_TPLUR",
+        "RO_VOWELS", "RO_STEP0", "RO_COMBO", "RO_COMBO_REPL", "RO_STD",
+        "RO_VERB", "RO_VOWEL_SUF",
         "NL_VOWELS", "NL_ACCENTS", "NL_STEP1", "NL_D_SUFFIX",
         "ES_VOWELS", "ES_PRON", "ES_PRE_MARK", "ES_MARK_REPL", "ES_STD",
         "ES_A3", "ES_A4", "ES_A5", "ES_Y_VERB", "ES_VERB",

@@ -85,6 +85,23 @@ FI = [
     ("niiden", "niide"),
 ]
 
+RO = [
+    # step_0 plural/article with R1 gate
+    ("lucrurile", "lucrur"), ("copilului", "copil"),
+    ("copiilor", "cop"),
+    # combo repeat: ivitate -> iv; ativ -> at then std 'at'
+    ("creativitate", "creativ"), ("semnificativ", "semnific"),
+    # std iune after t-cedilla -> t is spelled over ţ
+    ("acţiunea", "acţiun"),   # step_0 'ea' wins first
+    # verb suffixes inside RV
+    ("vorbeşte", "vorb"), ("vorbiseră", "vorb"),
+    ("românească", "român"),
+    # vowel_suffix in RV
+    ("frumoasă", "frumoas"),
+    # std gate outside R2 -> no action, verb path instead
+    ("istoria", "istor"),
+]
+
 NL = [
     ("lichamelijk", "licham"), ("lichamelijke", "licham"),
     ("gekken", "gek"),           # en_ending + undouble
@@ -154,6 +171,11 @@ def test_finnish(word, want):
     assert S.finnish_stem(word) == want
 
 
+@pytest.mark.parametrize("word,want", RO)
+def test_romanian(word, want):
+    assert S.romanian_stem(word) == want
+
+
 @pytest.mark.parametrize("word,want", NL)
 def test_dutch(word, want):
     assert S.dutch_stem(word) == want
@@ -184,7 +206,7 @@ def test_stemmers_idempotent_on_stems():
     str (not necessarily a fixpoint — Snowball is not idempotent)."""
     for fn, words in ((S.swedish_stem, SV), (S.danish_stem, DA),
                       (S.norwegian_stem, NO), (S.finnish_stem, FI),
-                      (S.dutch_stem, NL),
+                      (S.romanian_stem, RO), (S.dutch_stem, NL),
                       (S.spanish_stem, ES), (S.portuguese_stem, PT),
                       (S.italian_stem, IT), (S.french_stem, FR)):
         for w, want in words:

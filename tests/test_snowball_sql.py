@@ -58,6 +58,17 @@ WORDS = {
         "sanoisiko", "kirjansa", "kirjani", "kirjasi", "taloksensa",
         "vanhempi", "vanhimmat", "papot", "popot",
     ],
+    "romanian": COMMON + [
+        "lucrurile", "frumoasă", "absurditatea", "absurdităţile",
+        "abilitate", "abilităţi", "acţiunea", "acţiunile", "copiilor",
+        "copilului", "muncitorii", "românească", "româneşti",
+        "vorbeşte", "vorbesc", "vorbiseră", "cântaseră", "naţional",
+        "naţionale", "importantă", "dezvoltare", "dezvoltarea",
+        "istoria", "istorie", "creativitate", "semnificativ",
+        "semnificative", "aua", "iua", "aiua", "auia", "ează",
+        "lucrează", "citească", "citind", "scriind", "băieţii",
+        "fetele", "oraşului", "oraşele", "măsurători",
+    ],
     "dutch": COMMON + [
         "lichamelijk", "lichamelijke", "gekken", "gemen", "vuren",
         "huizen", "aardappelen", "heerlijkheden", "baarden",
@@ -115,6 +126,7 @@ CTES = {
     "danish": Q.danish_ctes,
     "norwegian": Q.norwegian_ctes,
     "finnish": Q.finnish_ctes,
+    "romanian": Q.romanian_ctes,
     "dutch": Q.dutch_ctes,
     "spanish": Q.spanish_ctes,
     "portuguese": Q.portuguese_ctes,
@@ -126,6 +138,7 @@ STEMS = {
     "danish": X.danish_stem,
     "norwegian": X.norwegian_stem,
     "finnish": X.finnish_stem,
+    "romanian": X.romanian_stem,
     "dutch": X.dutch_stem,
     "spanish": X.spanish_stem,
     "portuguese": X.portuguese_stem,
@@ -176,6 +189,7 @@ ALPHABETS = {
     "danish": "abdefghiklmnorstuvyzåæø",
     "norwegian": "abdefghiklmnorstuvyzåæø",
     "finnish": "adehijklmnoprstuvyäö",
+    "romanian": "abcdeilmnoprstuvzâîăşţ",
     "dutch": "abcdeghijklmnoprstuvyèáëï",
     "spanish": "abcdeghilmnopqrstuvyáéíóúüñ",
     "portuguese": "abcdeghilmnopqrstuvçãõáéêôí",
