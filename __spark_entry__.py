@@ -354,6 +354,12 @@ def _ft_snowball_ro(spark, sf_dir):
         ast.Term("merg"), K)
 
 
+def _ft_snowball_hu(spark, sf_dir):
+    # hungarian sing_owner 'e' in R1: merge -> 'merg'
+    return _snowball_ext_searcher(spark, sf_dir, "hungarian").search(
+        ast.Term("merg"), K)
+
+
 def _cjk_translit(s: str) -> str:
     return s.translate(str.maketrans(sqlgen.CJK_LAT36, sqlgen.CJK_HAN36))
 
@@ -1390,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snowball_no": _ft_snowball_no,
         "ft_snowball_fi": _ft_snowball_fi,
         "ft_snowball_ro": _ft_snowball_ro,
+        "ft_snowball_hu": _ft_snowball_hu,
         # HyphenationCompoundWordTokenFilter decompounding
         "ft_hyph_compound": _ft_hyph_compound,
     }
@@ -1583,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_snowball_no": g.snowball_term_query("merg", K, lang="norwegian"),
         "ft_snowball_fi": g.snowball_term_query("merg", K, lang="finnish"),
         "ft_snowball_ro": g.snowball_term_query("merg", K, lang="romanian"),
+        "ft_snowball_hu": g.snowball_term_query("merg", K, lang="hungarian"),
         "ft_hyph_compound": g.hyph_compound_term_query(
             "custom", _HYPH_PATTERNS, _HYPH_DICT, K),
     }

@@ -593,6 +593,133 @@ def romanian_snowball_analyzer():
     return _plain_snowball_analyzer(romanian_stem)
 
 
+# ------------------------------------------------------------- Hungarian
+# HungarianStemmer.cs: a bespoke R1 (vowel start -> past the first
+# consonant cluster, honoring the cs/dzs/gy/ly/ny/sz/ty/zs digraphs;
+# consonant start -> past the first vowel), then nine independent
+# pattern-b amongs each gated on R1: instrum (al/el after a doubled
+# consonant, with undouble), case (+ final á/é normalization),
+# case_special, case_other, factive (á/é after a double, undouble),
+# owned, sing_owner, plur_owner, plural.  The 2002 variant spells the
+# long õ/û (Latin-1 245/251) instead of modern ő/ű.
+
+HU_VOWELS = "aeiouáéíóõöúûü"
+HU_DIGRAPHS = ("cs", "dzs", "gy", "ly", "ny", "sz", "ty", "zs")
+HU_DOUBLE = ("bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm",
+             "nn", "pp", "rr", "ccs", "ss", "zzs", "tt", "vv", "ggy",
+             "lly", "nny", "tty", "ssz", "zz")
+HU_INSTRUM = [("al", 1), ("el", 1)]
+HU_CASE = [(s, 1) for s in (
+    "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+    "nál", "nél", "ból", "ról", "tól", "bõl", "rõl", "tõl", "ül",
+    "n", "an", "ban", "en", "ben", "képpen", "on", "ön", "képp",
+    "kor", "t", "at", "et", "ként", "anként", "enként", "onként",
+    "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé")]
+HU_CASE_SPECIAL = [("án", "a"), ("én", "e"), ("ánként", "a")]
+HU_CASE_OTHER = [("stul", ""), ("astul", ""), ("ástul", "a"),
+                 ("stül", ""), ("estül", ""), ("éstül", "e")]
+HU_FACTIVE = [("á", 1), ("é", 1)]
+HU_PLURAL = [("k", ""), ("ak", ""), ("ek", ""), ("ok", ""),
+             ("ák", "a"), ("ék", "e"), ("ök", "")]
+HU_OWNED = [("éi", ""), ("áéi", "a"), ("ééi", "e"), ("é", ""),
+            ("ké", ""), ("aké", ""), ("eké", ""), ("oké", ""),
+            ("áké", "a"), ("éké", "e"), ("öké", ""), ("éé", "e")]
+HU_SING_OWNER = [
+    ("a", ""), ("ja", ""), ("d", ""), ("ad", ""), ("ed", ""),
+    ("od", ""), ("ád", "a"), ("éd", "e"), ("öd", ""), ("e", ""),
+    ("je", ""), ("nk", ""), ("unk", ""), ("ánk", "a"), ("énk", "e"),
+    ("ünk", ""), ("uk", ""), ("juk", ""), ("ájuk", "a"), ("ük", ""),
+    ("jük", ""), ("éjük", "e"), ("m", ""), ("am", ""), ("em", ""),
+    ("om", ""), ("ám", "a"), ("ém", "e"), ("o", ""), ("á", "a"),
+    ("é", "e")]
+HU_PLUR_OWNER = [
+    ("id", ""), ("aid", ""), ("jaid", ""), ("eid", ""), ("jeid", ""),
+    ("áid", "a"), ("éid", "e"), ("i", ""), ("ai", ""), ("jai", ""),
+    ("ei", ""), ("jei", ""), ("ái", "a"), ("éi", "e"), ("itek", ""),
+    ("eitek", ""), ("jeitek", ""), ("éitek", "e"), ("ik", ""),
+    ("aik", ""), ("jaik", ""), ("eik", ""), ("jeik", ""),
+    ("áik", "a"), ("éik", "e"), ("ink", ""), ("aink", ""),
+    ("jaink", ""), ("eink", ""), ("jeink", ""), ("áink", "a"),
+    ("éink", "e"), ("aitok", ""), ("jaitok", ""), ("áitok", "a"),
+    ("im", ""), ("aim", ""), ("jaim", ""), ("eim", ""), ("jeim", ""),
+    ("áim", "a"), ("éim", "e")]
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if not n:
+        return 0
+    if w[0] in HU_VOWELS:
+        i = 1
+        while i < n and w[i] in HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        if w[i:i + 3] == "dzs":
+            return i + 3
+        if w[i:i + 2] in HU_DIGRAPHS:
+            return i + 2
+        return i + 1
+    for i in range(1, n):
+        if w[i] in HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_v_ending(w: str, r1: int) -> str:
+    """Final á -> a / é -> e when the vowel sits in R1."""
+    if w and w[-1] in "áé" and len(w) - 1 >= r1:
+        return w[:-1] + ("a" if w[-1] == "á" else "e")
+    return w
+
+
+def _hu_undouble(w: str) -> str:
+    """Drop the second-to-last char (the duplicate of a double)."""
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def _hu_repl_step(w: str, r1: int, table) -> str:
+    """Pattern-b among with R1 gate; action '' = delete, else the
+    replacement vowel."""
+    hit = _longest(w, table)
+    if hit and len(w) - len(hit[0]) >= r1:
+        return w[:len(w) - len(hit[0])] + hit[1]
+    return w
+
+
+def hungarian_stem(word: str) -> str:
+    w = word
+    r1 = _hu_r1(w)
+
+    def double_suffix(table):
+        """instrum/factive: suffix in R1 AND preceded by a double ->
+        delete + undouble."""
+        nonlocal w
+        hit = _longest(w, table)
+        if hit:
+            p = len(w) - len(hit[0])
+            if p >= r1 and w[:p].endswith(HU_DOUBLE):
+                w = _hu_undouble(w[:p])
+
+    double_suffix(HU_INSTRUM)
+    # case: delete, then the final-vowel normalization
+    hit = _longest(w, HU_CASE)
+    if hit and len(w) - len(hit[0]) >= r1:
+        w = _hu_v_ending(w[:len(w) - len(hit[0])], r1)
+    w = _hu_repl_step(w, r1, HU_CASE_SPECIAL)
+    w = _hu_repl_step(w, r1, HU_CASE_OTHER)
+    double_suffix(HU_FACTIVE)
+    w = _hu_repl_step(w, r1, HU_OWNED)
+    w = _hu_repl_step(w, r1, HU_SING_OWNER)
+    w = _hu_repl_step(w, r1, HU_PLUR_OWNER)
+    w = _hu_repl_step(w, r1, HU_PLURAL)
+    return w
+
+
+def hungarian_snowball_analyzer():
+    return _plain_snowball_analyzer(hungarian_stem)
+
+
 # ---------------------------------------------------------------- Dutch
 # DutchStemmer.cs: accent fold, y/i marking, R1 (min 3)/R2,
 # standard_suffix (5 nested stages), postlude.

@@ -476,6 +476,79 @@ stemmap AS MATERIALIZED (  -- vowel_suffix (RV) + postlude
   FROM (SELECT term, w, rv, {vsuf} AS suf FROM xv4))"""
 
 
+# ------------------------------------------------------------- Hungarian
+
+
+def hungarian_ctes() -> str:
+    v = _cls(T.HU_VOWELS)
+    dbl = "|".join(T.HU_DOUBLE)
+    undouble = ("substr({x}, 1, length({x}) - 2) || "
+                "substr({x}, length({x}))")
+
+    def repl_cte(src: str, dst: str, table) -> str:
+        suf = _suf_case("w", [(s, 0) for s, _r in table])
+        arms = " ".join(
+            f"WHEN '{_q(s)}' THEN {_chop('w', len(s))} || '{r}'"
+            for s, r in table)
+        return f"""{dst} AS MATERIALIZED (
+  SELECT term, r1,
+    CASE WHEN suf = '' OR length(w) - length(suf) < r1 THEN w
+         ELSE (CASE suf {arms} ELSE w END) END AS w
+  FROM (SELECT term, w, r1, {suf} AS suf FROM {src}))"""
+
+    def double_cte(src: str, dst: str, table) -> str:
+        suf = _suf_case("w", table)
+        chop = _chop("w", "length(suf)")
+        return f"""{dst} AS MATERIALIZED (
+  SELECT term, r1,
+    CASE WHEN suf <> '' AND length(w) - length(suf) >= r1
+              AND regexp_matches({chop}, '({dbl})$')
+         THEN {undouble.format(x=chop)}
+         ELSE w END AS w
+  FROM (SELECT term, w, r1, {suf} AS suf FROM {src}))"""
+
+    fc = f"(length(regexp_extract(w, '^[{v}]+')) + 1)"
+    fv = f"length(regexp_extract(w, '^[^{v}]*[{v}]'))"
+    digr = ",".join(f"'{d}'" for d in T.HU_DIGRAPHS if len(d) == 2)
+    r1_sql = f"""(CASE WHEN substr(w, 1, 1) ~ '[{v}]' THEN
+      CASE WHEN NOT regexp_matches(w, '[^{v}]') THEN length(w)
+           WHEN substr(w, {fc}, 3) = 'dzs' THEN {fc} + 2
+           WHEN substr(w, {fc}, 2) IN ({digr}) THEN {fc} + 1
+           ELSE {fc} END
+    WHEN regexp_matches(w, '[{v}]') THEN {fv}
+    ELSE length(w) END)"""
+    case_suf = _suf_case("w", T.HU_CASE)
+    parts = [
+        "xv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f)",
+        f"""xv1 AS MATERIALIZED (
+  SELECT term, w, {r1_sql} AS r1
+  FROM (SELECT term, term AS w FROM xv0))""",
+        double_cte("xv1", "xv2", T.HU_INSTRUM),
+        f"""xv3 AS MATERIALIZED (  -- case: delete + final-vowel fix
+  SELECT term, r1,
+    CASE WHEN NOT fired THEN w
+         WHEN substr(w2, length(w2), 1) IN ('á', 'é')
+              AND length(w2) - 1 >= r1
+         THEN {_chop('w2', '1')} ||
+              (CASE substr(w2, length(w2), 1)
+                    WHEN 'á' THEN 'a' ELSE 'e' END)
+         ELSE w2 END AS w
+  FROM (SELECT term, w, r1,
+          suf <> '' AND length(w) - length(suf) >= r1 AS fired,
+          {_chop('w', 'length(suf)')} AS w2
+        FROM (SELECT term, w, r1, {case_suf} AS suf FROM xv2)))""",
+        repl_cte("xv3", "xv4", T.HU_CASE_SPECIAL),
+        repl_cte("xv4", "xv5", T.HU_CASE_OTHER),
+        double_cte("xv5", "xv6", T.HU_FACTIVE),
+        repl_cte("xv6", "xv7", T.HU_OWNED),
+        repl_cte("xv7", "xv8", T.HU_SING_OWNER),
+        repl_cte("xv8", "xv9", T.HU_PLUR_OWNER),
+        repl_cte("xv9", "xv10", T.HU_PLURAL),
+        "stemmap AS MATERIALIZED (SELECT term, w AS stem FROM xv10)",
+    ]
+    return ",\n".join(parts)
+
+
 # ---------------------------------------------------------------- Dutch
 
 

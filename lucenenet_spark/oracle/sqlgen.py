@@ -344,6 +344,7 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
             "norwegian": snowball_sql.norwegian_ctes,
             "finnish": snowball_sql.finnish_ctes,
             "romanian": snowball_sql.romanian_ctes,
+            "hungarian": snowball_sql.hungarian_ctes,
             "dutch": snowball_sql.dutch_ctes,
             "spanish": snowball_sql.spanish_ctes,
             "portuguese": snowball_sql.portuguese_ctes,

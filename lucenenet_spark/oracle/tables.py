@@ -596,6 +596,188 @@ RO_VERB = [('ea', 1),
 
 RO_VOWEL_SUF = [('a', 1), ('e', 1), ('ie', 1), ('i', 1), ('ă', 1)]
 
+HU_VOWELS = 'aeiouáéíóõöúûü'
+
+HU_DIGRAPHS = ('cs', 'dzs', 'gy', 'ly', 'ny', 'sz', 'ty', 'zs')
+
+HU_DOUBLE = ('bb',
+ 'cc',
+ 'dd',
+ 'ff',
+ 'gg',
+ 'jj',
+ 'kk',
+ 'll',
+ 'mm',
+ 'nn',
+ 'pp',
+ 'rr',
+ 'ccs',
+ 'ss',
+ 'zzs',
+ 'tt',
+ 'vv',
+ 'ggy',
+ 'lly',
+ 'nny',
+ 'tty',
+ 'ssz',
+ 'zz')
+
+HU_INSTRUM = [('al', 1), ('el', 1)]
+
+HU_CASE = [('ba', 1),
+ ('ra', 1),
+ ('be', 1),
+ ('re', 1),
+ ('ig', 1),
+ ('nak', 1),
+ ('nek', 1),
+ ('val', 1),
+ ('vel', 1),
+ ('ul', 1),
+ ('nál', 1),
+ ('nél', 1),
+ ('ból', 1),
+ ('ról', 1),
+ ('tól', 1),
+ ('bõl', 1),
+ ('rõl', 1),
+ ('tõl', 1),
+ ('ül', 1),
+ ('n', 1),
+ ('an', 1),
+ ('ban', 1),
+ ('en', 1),
+ ('ben', 1),
+ ('képpen', 1),
+ ('on', 1),
+ ('ön', 1),
+ ('képp', 1),
+ ('kor', 1),
+ ('t', 1),
+ ('at', 1),
+ ('et', 1),
+ ('ként', 1),
+ ('anként', 1),
+ ('enként', 1),
+ ('onként', 1),
+ ('ot', 1),
+ ('ért', 1),
+ ('öt', 1),
+ ('hez', 1),
+ ('hoz', 1),
+ ('höz', 1),
+ ('vá', 1),
+ ('vé', 1)]
+
+HU_CASE_SPECIAL = [('án', 'a'), ('én', 'e'), ('ánként', 'a')]
+
+HU_CASE_OTHER = [('stul', ''),
+ ('astul', ''),
+ ('ástul', 'a'),
+ ('stül', ''),
+ ('estül', ''),
+ ('éstül', 'e')]
+
+HU_FACTIVE = [('á', 1), ('é', 1)]
+
+HU_PLURAL = [('k', ''),
+ ('ak', ''),
+ ('ek', ''),
+ ('ok', ''),
+ ('ák', 'a'),
+ ('ék', 'e'),
+ ('ök', '')]
+
+HU_OWNED = [('éi', ''),
+ ('áéi', 'a'),
+ ('ééi', 'e'),
+ ('é', ''),
+ ('ké', ''),
+ ('aké', ''),
+ ('eké', ''),
+ ('oké', ''),
+ ('áké', 'a'),
+ ('éké', 'e'),
+ ('öké', ''),
+ ('éé', 'e')]
+
+HU_SING_OWNER = [('a', ''),
+ ('ja', ''),
+ ('d', ''),
+ ('ad', ''),
+ ('ed', ''),
+ ('od', ''),
+ ('ád', 'a'),
+ ('éd', 'e'),
+ ('öd', ''),
+ ('e', ''),
+ ('je', ''),
+ ('nk', ''),
+ ('unk', ''),
+ ('ánk', 'a'),
+ ('énk', 'e'),
+ ('ünk', ''),
+ ('uk', ''),
+ ('juk', ''),
+ ('ájuk', 'a'),
+ ('ük', ''),
+ ('jük', ''),
+ ('éjük', 'e'),
+ ('m', ''),
+ ('am', ''),
+ ('em', ''),
+ ('om', ''),
+ ('ám', 'a'),
+ ('ém', 'e'),
+ ('o', ''),
+ ('á', 'a'),
+ ('é', 'e')]
+
+HU_PLUR_OWNER = [('id', ''),
+ ('aid', ''),
+ ('jaid', ''),
+ ('eid', ''),
+ ('jeid', ''),
+ ('áid', 'a'),
+ ('éid', 'e'),
+ ('i', ''),
+ ('ai', ''),
+ ('jai', ''),
+ ('ei', ''),
+ ('jei', ''),
+ ('ái', 'a'),
+ ('éi', 'e'),
+ ('itek', ''),
+ ('eitek', ''),
+ ('jeitek', ''),
+ ('éitek', 'e'),
+ ('ik', ''),
+ ('aik', ''),
+ ('jaik', ''),
+ ('eik', ''),
+ ('jeik', ''),
+ ('áik', 'a'),
+ ('éik', 'e'),
+ ('ink', ''),
+ ('aink', ''),
+ ('jaink', ''),
+ ('eink', ''),
+ ('jeink', ''),
+ ('áink', 'a'),
+ ('éink', 'e'),
+ ('aitok', ''),
+ ('jaitok', ''),
+ ('áitok', 'a'),
+ ('im', ''),
+ ('aim', ''),
+ ('jaim', ''),
+ ('eim', ''),
+ ('jeim', ''),
+ ('áim', 'a'),
+ ('éim', 'e')]
+
 NL_VOWELS = 'aeiouyè'
 
 NL_ACCENTS = {'á': 'a',

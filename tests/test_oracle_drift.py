@@ -71,6 +71,9 @@ def test_snowball_ext_copies_match_engine():
         "FI_CASE", "FI_OTHER", "FI_TPLUR",
         "RO_VOWELS", "RO_STEP0", "RO_COMBO", "RO_COMBO_REPL", "RO_STD",
         "RO_VERB", "RO_VOWEL_SUF",
+        "HU_VOWELS", "HU_DIGRAPHS", "HU_DOUBLE", "HU_INSTRUM",
+        "HU_CASE", "HU_CASE_SPECIAL", "HU_CASE_OTHER", "HU_FACTIVE",
+        "HU_PLURAL", "HU_OWNED", "HU_SING_OWNER", "HU_PLUR_OWNER",
         "NL_VOWELS", "NL_ACCENTS", "NL_STEP1", "NL_D_SUFFIX",
         "ES_VOWELS", "ES_PRON", "ES_PRE_MARK", "ES_MARK_REPL", "ES_STD",
         "ES_A3", "ES_A4", "ES_A5", "ES_Y_VERB", "ES_VERB",

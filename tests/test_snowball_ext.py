@@ -102,6 +102,21 @@ RO = [
     ("istoria", "istor"),
 ]
 
+HU = [
+    # bespoke R1: vowel start -> past first consonant cluster
+    ("házak", "ház"), ("házakat", "ház"), ("almák", "alma"),
+    # digraph-aware R1 (cs counts as one consonant)
+    ("babakocsit", "babakocs"),
+    # instrum al/el after a double + undouble
+    ("tollal", "tol"), ("hosszal", "hosz"), ("asztallal", "asztal"),
+    # case + final-vowel normalization
+    ("városában", "város"), ("szépén", "szép"),
+    # owner chains
+    ("kertjükben", "kert"), ("barátaimnak", "barát"),
+    # driver order: sing_owner 'a' fires on the normalized form
+    ("almát", "alm"),
+]
+
 NL = [
     ("lichamelijk", "licham"), ("lichamelijke", "licham"),
     ("gekken", "gek"),           # en_ending + undouble
@@ -176,6 +191,11 @@ def test_romanian(word, want):
     assert S.romanian_stem(word) == want
 
 
+@pytest.mark.parametrize("word,want", HU)
+def test_hungarian(word, want):
+    assert S.hungarian_stem(word) == want
+
+
 @pytest.mark.parametrize("word,want", NL)
 def test_dutch(word, want):
     assert S.dutch_stem(word) == want
@@ -206,7 +226,8 @@ def test_stemmers_idempotent_on_stems():
     str (not necessarily a fixpoint — Snowball is not idempotent)."""
     for fn, words in ((S.swedish_stem, SV), (S.danish_stem, DA),
                       (S.norwegian_stem, NO), (S.finnish_stem, FI),
-                      (S.romanian_stem, RO), (S.dutch_stem, NL),
+                      (S.romanian_stem, RO), (S.hungarian_stem, HU),
+                      (S.dutch_stem, NL),
                       (S.spanish_stem, ES), (S.portuguese_stem, PT),
                       (S.italian_stem, IT), (S.french_stem, FR)):
         for w, want in words:

@@ -69,6 +69,16 @@ WORDS = {
         "lucrează", "citească", "citind", "scriind", "băieţii",
         "fetele", "oraşului", "oraşele", "măsurători",
     ],
+    "hungarian": COMMON + [
+        "babakocsit", "babakocsik", "házak", "házat", "házakat",
+        "könyvek", "könyveket", "asztallal", "tollal", "hosszal",
+        "várral", "emberek", "embereknek", "gyerekeknek", "szépén",
+        "szépen", "városában", "városaiban", "barátaim",
+        "barátaimnak", "almák", "almát", "kertjükben", "tanároknak",
+        "magyarországon", "lehetõségek", "dzsungel", "asszonyok",
+        "képpen", "képp", "ánként", "stul", "éstül", "jaitok",
+        "éjük", "ájuk", "köszönöm", "szeretettel", "falujában",
+    ],
     "dutch": COMMON + [
         "lichamelijk", "lichamelijke", "gekken", "gemen", "vuren",
         "huizen", "aardappelen", "heerlijkheden", "baarden",
@@ -127,6 +137,7 @@ CTES = {
     "norwegian": Q.norwegian_ctes,
     "finnish": Q.finnish_ctes,
     "romanian": Q.romanian_ctes,
+    "hungarian": Q.hungarian_ctes,
     "dutch": Q.dutch_ctes,
     "spanish": Q.spanish_ctes,
     "portuguese": Q.portuguese_ctes,
@@ -139,6 +150,7 @@ STEMS = {
     "norwegian": X.norwegian_stem,
     "finnish": X.finnish_stem,
     "romanian": X.romanian_stem,
+    "hungarian": X.hungarian_stem,
     "dutch": X.dutch_stem,
     "spanish": X.spanish_stem,
     "portuguese": X.portuguese_stem,
@@ -190,6 +202,7 @@ ALPHABETS = {
     "norwegian": "abdefghiklmnorstuvyzåæø",
     "finnish": "adehijklmnoprstuvyäö",
     "romanian": "abcdeilmnoprstuvzâîăşţ",
+    "hungarian": "abcdegijklmnoprstuvzáéíóõöúûü",
     "dutch": "abcdeghijklmnoprstuvyèáëï",
     "spanish": "abcdeghilmnopqrstuvyáéíóúüñ",
     "portuguese": "abcdeghilmnopqrstuvçãõáéêôí",
