@@ -987,6 +987,24 @@ def _ft_geo_box(spark, sf_dir):
                                  radius_km=3000.0, k=K)
 
 
+# An irregular pentagon (no horizontal edges, no cell-aligned
+# vertices) spanning the mid-latitudes — matches a healthy slice of
+# the deterministic point grid at every sf.
+_GEO_POLYGON = [(41.3, -63.7), (28.9, 49.1), (-17.4, 55.3),
+                (-33.8, -12.9), (-8.6, -71.2)]
+
+
+def _ft_geo_polygon(spark, sf_dir):
+    """NTS prefix-tree strategy analogue (Prefix/Tree/QuadPrefixTree.cs
+    + Prefix/RecursivePrefixTreeFilter.cs + the polygon relate of
+    SpatialStrategy.MakeQuery): driver-side quad-tree covering lowered
+    to prefix/IN predicates over a derived quadkey column, exact
+    ray-cast verify in-plan (operators/spatial.py)."""
+    from lucenenet_spark.operators import spatial
+    return spatial.polygon_search(_geo_docs(spark, sf_dir), "lat",
+                                  "lon", _GEO_POLYGON, k=K)
+
+
 def _ft_percolate(spark, sf_dir):
     """MemoryIndex/percolation analogue (src/contrib/Memory/
     MemoryIndex.cs): a registered query SET compiled once into JVM
@@ -1259,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_nrt_term": _ft_nrt_term,
         # --- contrib Spatial: box prefilter + haversine distance (round 4) ---
         "ft_geo_box": _ft_geo_box,
+        "ft_geo_polygon": _ft_geo_polygon,
         # --- similarity search ---
         # (ann_lsh_topk moved to overflow: the RP-LSH bucket machinery is
         # driver-covered by dd_embed_cosine's bucketed path)
@@ -1493,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         # snapshot must equal a one-shot build over all of it
         "ft_nrt_term": g.term_query("merge", K),
         "ft_geo_box": g.geo_distance_topk(10.0, 20.0, 3000.0, K),
+        "ft_geo_polygon": g.geo_polygon_topk(_GEO_POLYGON, K),
         "ft_seg_term": g.term_query("spark", K),
         "ft_deleted": g.deleted_term("table", "lang = 'de'", K),
         "ft_mlt": g.more_like_this(0, 5, K),

@@ -759,6 +759,38 @@ SELECT doc_id, distance_km FROM d WHERE distance_km <= {radius_km}
 ORDER BY distance_km, doc_id LIMIT {k}"""
 
 
+def geo_polygon_topk(polygon, k: int = 10,
+                     table: str = "documents") -> str:
+    """Polygon relate over the deterministic lat/lon derivation:
+    even-odd ray cast (horizontal edges dropped), constant score,
+    doc_id order — the exact-verify contract of
+    operators/spatial.polygon_search (whose quad-covering prefilter is
+    a superset, so the ray cast alone reproduces the result set)."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        y1, x1 = float(polygon[i][0]), float(polygon[i][1])
+        y2, x2 = (float(polygon[(i + 1) % n][0]),
+                  float(polygon[(i + 1) % n][1]))
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat)) AND "
+            f"lon < {slope!r} * (lat - {y1!r}) + {x1!r} "
+            f"THEN 1 ELSE 0 END")
+    cross = " + ".join(terms) if terms else "0"
+    return f"""WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM {table}
+)
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM pts
+WHERE ({cross}) % 2 = 1
+ORDER BY doc_id LIMIT {k}"""
+
+
 def more_like_this(src_doc: int, max_terms: int = 5, k: int = 10,
                    table: str = "documents") -> str:
     """Top tf*idf terms of src_doc -> disjunctive BM25, source excluded.

@@ -67,6 +67,69 @@ def test_radius_prefilter_is_superset(pts):
     assert [tuple(r) for r in a] == [tuple(r) for r in full]
 
 
+POLY = [(41.3, -63.7), (28.9, 49.1), (-17.4, 55.3),
+        (-33.8, -12.9), (-8.6, -71.2)]
+
+
+def _quad_py(lat, lon, level):
+    n = 1 << level
+    xi = min(n - 1, math.floor((lon + 180.0) / 360.0 * n))
+    yi = min(n - 1, math.floor((lat + 90.0) / 180.0 * n))
+    out = []
+    for i in range(level):
+        s = level - 1 - i
+        out.append(str(((xi >> s) & 1) + 2 * ((yi >> s) & 1)))
+    return "".join(out)
+
+
+def test_quad_cell_matches_python(pts):
+    got = pts.select("doc_id", spatial.quad_cell(
+        F.col("lat"), F.col("lon"), 8).alias("c")).collect()
+    for r in got:
+        row = [(x["lat"], x["lon"]) for x in pts.collect()
+               if x["doc_id"] == r["doc_id"]][0]
+        assert r["c"] == _quad_py(row[0], row[1], 8), r["doc_id"]
+
+
+def test_cell_rect_roundtrip():
+    """A point's cell rect must contain the point."""
+    for lat, lon in [(0.0, 0.0), (89.99, 179.99), (-90.0, -180.0),
+                     (12.34, -56.78)]:
+        key = _quad_py(lat, lon, 10)
+        lo, hi, wlo, whi = spatial._cell_rect(key)
+        assert lo <= lat <= hi and wlo <= lon <= whi
+
+
+def test_point_in_polygon_matches_python(pts):
+    got = {r["doc_id"] for r in pts.where(spatial.point_in_polygon(
+        F.col("lat"), F.col("lon"), POLY)).collect()}
+    want = {r["doc_id"] for r in pts.collect()
+            if spatial.point_in_polygon_py(r["lat"], r["lon"], POLY)}
+    assert got == want and got
+
+
+def test_quad_covering_is_superset(pts):
+    """Cover-prefilter + exact verify == direct verify: the covering
+    must never prune a cell holding an inside point (the
+    RecursivePrefixTreeFilter contract)."""
+    got = {r["doc_id"] for r in spatial.polygon_search(
+        pts, "lat", "lon", POLY, k=1000).collect()}
+    want = sorted(r["doc_id"] for r in pts.collect()
+                  if spatial.point_in_polygon_py(r["lat"], r["lon"], POLY))
+    assert got == set(want[:1000]) and got
+
+
+def test_polygon_covering_structure():
+    prefixes, leaves = spatial.quad_covering(POLY, 8)
+    # a healthy mid-size polygon yields both whole-cell prefixes and
+    # boundary leaves, and every leaf is at the detail level
+    assert prefixes and leaves
+    assert all(len(p) <= 8 for p in prefixes)
+    assert all(len(v) == 8 for v in leaves)
+    # no leaf is a descendant of an accepted prefix (no double count)
+    assert not any(v.startswith(p) for v in leaves for p in prefixes)
+
+
 def test_pole_center_prefilter(pts):
     """cos(lat)≈0 at the pole: the lon window must widen to the full
     range rather than divide by ~zero."""
