@@ -178,12 +178,14 @@ def _snowball_searcher(spark: SparkSession, sf_dir: str,
     queries carry pre-stemmed terms.  The DuckDB oracle re-runs the
     whole stemmer in SQL (oracle/sqlgen._porter2_ctes/_german_ctes)."""
     from lucenenet_spark.analysis.snowball import (
-        english_snowball_analyzer, german_snowball_analyzer)
+        english_snowball_analyzer, german2_snowball_analyzer,
+        german_snowball_analyzer)
     hit = _ANALYZER_CACHE.get((sf_dir, f"snow-{lang}"))
     if hit is not None and hit[0] is spark:
         return hit[1]
-    an = (english_snowball_analyzer() if lang == "english"
-          else german_snowball_analyzer())
+    an = {"english": english_snowball_analyzer,
+          "german": german_snowball_analyzer,
+          "german2": german2_snowball_analyzer}[lang]()
     idx = build_segmented_index(
         spark, _docs(spark, sf_dir), text_col="text", id_col="doc_id",
         field_name="text", analyzer=an,
@@ -240,6 +242,15 @@ def _ft_snowball_term(spark, sf_dir):
 def _ft_snowball_de(spark, sf_dir):
     # german_stem("tables") == "tabl" (es-suffix in R1)
     return _snowball_searcher(spark, sf_dir, "german").search(
+        ast.Term("tabl"), K)
+
+
+def _ft_snowball_de2(spark, sf_dir):
+    # German2 chain: same es-suffix stem for the query term, but the
+    # prelude ue/ae/oe substitutions reshape other index terms (e.g.
+    # 'true' -> 'tru' via ü where plain German keeps 'true'), shifting
+    # dl/avgdl — the oracle re-runs the scan as a recursive CTE
+    return _snowball_searcher(spark, sf_dir, "german2").search(
         ast.Term("tabl"), K)
 
 
@@ -357,6 +368,13 @@ def _ft_snowball_ro(spark, sf_dir):
 def _ft_snowball_hu(spark, sf_dir):
     # hungarian sing_owner 'e' in R1: merge -> 'merg'
     return _snowball_ext_searcher(spark, sf_dir, "hungarian").search(
+        ast.Term("merg"), K)
+
+
+def _ft_snowball_lovins(spark, sf_dir):
+    # lovins ending 'es' under condition E (stem not ending e):
+    # merges -> 'merg'; 'e'(A) takes merge -> 'merg' too
+    return _snowball_ext_searcher(spark, sf_dir, "lovins").search(
         ast.Term("merg"), K)
 
 
@@ -1348,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (ast.SpanTerm("merge"), ast.SpanTerm("batch")))),
         # contrib Snowball German chain (GermanStemmer.cs among tables)
         "ft_snowball_de": _ft_snowball_de,
+        "ft_snowball_de2": _ft_snowball_de2,
         "ft_term_rare": _search(ast.Term("dup")),
         "ft_bool_or": _search(
             ast.Bool(should=(ast.Term("spark"), ast.Term("merge"), ast.Term("batch")))
@@ -1416,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_snowball_fi": _ft_snowball_fi,
         "ft_snowball_ro": _ft_snowball_ro,
         "ft_snowball_hu": _ft_snowball_hu,
+        "ft_snowball_lovins": _ft_snowball_lovins,
         # HyphenationCompoundWordTokenFilter decompounding
         "ft_hyph_compound": _ft_hyph_compound,
     }
@@ -1577,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_shingle_bigram": g.shingle_term_query("table scan", K),
         "ft_snowball_term": g.snowball_term_query("merg", K, "english"),
         "ft_snowball_de": g.snowball_term_query("tabl", K, "german"),
+        "ft_snowball_de2": g.snowball_term_query("tabl", K, "german2"),
         "ft_ngram_term": g.ngram_term_query("rk", K, min_gram=1, max_gram=2),
         "ft_edge_ngram": g.edge_ngram_term_query("spar", K, min_gram=2,
                                                  max_gram=4),
@@ -1611,6 +1632,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_snowball_fi": g.snowball_term_query("merg", K, lang="finnish"),
         "ft_snowball_ro": g.snowball_term_query("merg", K, lang="romanian"),
         "ft_snowball_hu": g.snowball_term_query("merg", K, lang="hungarian"),
+        "ft_snowball_lovins": g.snowball_term_query("merg", K, lang="lovins"),
         "ft_hyph_compound": g.hyph_compound_term_query(
             "custom", _HYPH_PATTERNS, _HYPH_DICT, K),
     }

@@ -222,17 +222,65 @@ def _r2_de(w: str) -> int:
     return m.end() if m else len(w)
 
 
-def german_stem(word: str) -> str:
-    w = word.replace("ß", "ss")
-    # u/y between vowels -> U/Y (iterated two-pattern fixpoint; see
-    # module docstring for the leftmost-scan deviation note)
+def _de_mark_uy(w: str) -> str:
+    """u/y between vowels -> U/Y (iterated two-pattern fixpoint; see
+    module docstring for the leftmost-scan deviation note)."""
     for _ in range(3):
         w2 = re.sub(f"([{_GV}])y([{_GV}])", r"\1Y\2", w)
         w2 = re.sub(f"([{_GV}])u([{_GV}])", r"\1U\2", w2)
         if w2 == w:
             break
         w = w2
+    return w
 
+
+def german_stem(word: str) -> str:
+    w = _de_mark_uy(word.replace("ß", "ss"))
+    return _german_steps(w)
+
+
+def _de2_substitute(w: str) -> str:
+    """German2Stemmer.cs prelude second pass: left-to-right longest
+    among over {ae, oe, ue, qu, ß} — ae/oe/ue become umlauts, ß -> ss,
+    and qu protects (hops over) the TWO chars after it; the generated
+    hop aborts the whole scan when fewer than two chars remain."""
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        two = w[i:i + 2]
+        if two == "qu":
+            if i + 4 > n:
+                out.append(w[i:])  # hop past limit: scan stops
+                return "".join(out)
+            out.append(w[i:i + 4])
+            i += 4
+        elif two == "ae":
+            out.append("ä")
+            i += 2
+        elif two == "oe":
+            out.append("ö")
+            i += 2
+        elif two == "ue":
+            out.append("ü")
+            i += 2
+        elif w[i] == "ß":
+            out.append("ss")
+            i += 1
+        else:
+            out.append(w[i])
+            i += 1
+    return "".join(out)
+
+
+def german2_stem(word: str) -> str:
+    """German2Stemmer.cs: the German algorithm with the extra prelude
+    substitution (marking runs FIRST, so a u between vowels is already
+    U and never part of a 'ue' substitution — 'neue' keeps its u while
+    'mueller' gains an umlaut)."""
+    return _german_steps(_de2_substitute(_de_mark_uy(word)))
+
+
+def _german_steps(w: str) -> str:
     r1, r2 = _r1_de(w), _r2_de(w)
     # step 1 (a_1), longest suffix, in R1
     for suf in ("ern", "es", "em", "en", "er", "e"):
@@ -300,6 +348,25 @@ def english_snowball_analyzer():
 
     def analyze(text: str) -> list[tuple[str, int]]:
         return [(porter2_stem(t), p) for t, p in tokenize_standard(text)]
+    return analyze
+
+
+def german2_snowball_analyzer():
+    """SnowballAnalyzer('German2', GERMAN_STOP_WORDS): the German chain
+    with the ae/oe/ue/ß prelude substitutions."""
+    from .tokenizers import (
+        MAX_TOKEN_LENGTH, STANDARD_TOKEN_RE, _std_transform)
+
+    def analyze(text: str) -> list[tuple[str, int]]:
+        if text is None:
+            return []
+        out = []
+        for pos, tok in enumerate(STANDARD_TOKEN_RE.findall(text.lower())):
+            tok = _std_transform(tok)
+            if len(tok) > MAX_TOKEN_LENGTH or tok in GERMAN_STOP_WORDS:
+                continue
+            out.append((german2_stem(tok), pos))
+        return out
     return analyze
 
 

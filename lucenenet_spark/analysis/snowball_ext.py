@@ -1528,6 +1528,11 @@ def finnish_snowball_analyzer():
     return _plain_snowball_analyzer(finnish_stem)
 
 
+def lovins_snowball_analyzer():
+    from .lovins import lovins_stem
+    return _plain_snowball_analyzer(lovins_stem)
+
+
 def dutch_snowball_analyzer():
     return _plain_snowball_analyzer(dutch_stem)
 

@@ -549,6 +549,117 @@ def hungarian_ctes() -> str:
     return ",\n".join(parts)
 
 
+# ---------------------------------------------------------------- Lovins
+
+
+def _lovins_cond_sql(name: str, st: str) -> str:
+    """Condition A-CC over the stem expression `st` — an independent
+    SQL re-statement of analysis/lovins._cond (incl. the generated
+    code's dead-branch quirks in H/O/R)."""
+    n = f"length({st})"
+    e = lambda suf: f"ends_with({st}, '{suf}')"  # noqa: E731
+    if name == "A":
+        return f"{n} >= 2"
+    if name == "B":
+        return f"{n} >= 3"
+    if name == "C":
+        return f"{n} >= 4"
+    if name == "D":
+        return f"{n} >= 5"
+    if name == "E":
+        return f"{n} >= 2 AND NOT {e('e')}"
+    if name == "F":
+        return f"{n} >= 3 AND NOT {e('e')}"
+    if name == "G":
+        return f"{n} >= 3 AND {e('f')}"
+    if name == "H":
+        return f"{n} >= 2 AND {e('ll')}"
+    if name == "I":
+        return f"{n} >= 2 AND NOT {e('o')} AND NOT {e('e')}"
+    if name == "J":
+        return f"{n} >= 2 AND NOT {e('a')} AND NOT {e('e')}"
+    if name == "K":
+        return (f"{n} >= 3 AND ({e('l')} OR {e('i')} OR ({e('e')} "
+                f"AND substr({st}, {n} - 2, 1) = 'u'))")
+    if name == "L":
+        return (f"{n} >= 2 AND NOT {e('u')} AND NOT {e('x')} "
+                f"AND NOT ({e('s')} AND NOT {e('os')})")
+    if name == "M":
+        return (f"{n} >= 2 AND NOT {e('a')} AND NOT {e('c')} "
+                f"AND NOT {e('e')} AND NOT {e('m')}")
+    if name == "N":
+        return (f"{n} >= 3 AND (substr({st}, {n} - 2, 1) <> 's' "
+                f"OR {n} >= 4)")
+    if name == "O":
+        return f"{n} >= 2 AND {e('i')}"
+    if name == "P":
+        return f"{n} >= 2 AND NOT {e('c')}"
+    if name == "Q":
+        return f"{n} >= 3 AND NOT {e('l')} AND NOT {e('n')}"
+    if name == "R":
+        return f"{n} >= 2 AND {e('r')}"
+    if name == "S":
+        return (f"{n} >= 2 AND ({e('dr')} OR ({e('t')} "
+                f"AND NOT {e('tt')}))")
+    if name == "T":
+        return (f"{n} >= 2 AND ({e('s')} OR ({e('t')} "
+                f"AND NOT {e('ot')}))")
+    if name == "U":
+        return (f"{n} >= 2 AND ({e('l')} OR {e('m')} OR {e('n')} "
+                f"OR {e('r')})")
+    if name == "V":
+        return f"{n} >= 2 AND {e('c')}"
+    if name == "W":
+        return f"{n} >= 2 AND NOT {e('s')} AND NOT {e('u')}"
+    if name == "X":
+        return (f"{n} >= 2 AND ({e('l')} OR {e('i')} OR ({e('e')} "
+                f"AND substr({st}, {n} - 2, 1) = 'u'))")
+    if name == "Y":
+        return f"{n} >= 2 AND {e('in')}"
+    if name == "Z":
+        return f"{n} >= 2 AND NOT {e('f')}"
+    if name == "AA":
+        alts = " OR ".join(e(s) for s in
+                           ("d", "f", "ph", "th", "l", "er", "or",
+                            "es", "t"))
+        return f"{n} >= 2 AND ({alts})"
+    if name == "BB":
+        return f"{n} >= 3 AND NOT {e('met')} AND NOT {e('ryst')}"
+    return f"{n} >= 2 AND {e('l')}"  # CC
+
+
+def lovins_ctes() -> str:
+    arms = []
+    for suf, cond in sorted(T.LOVINS_ENDINGS, key=lambda x: -len(x[0])):
+        st = _chop("w", len(suf))
+        arms.append(f"WHEN ends_with(w, '{_q(suf)}') "
+                    f"AND ({_lovins_cond_sql(cond, st)}) "
+                    f"THEN {st}")
+    endings = "CASE " + "\n    ".join(arms) + " ELSE w END"
+    dbl = "|".join(T.LOVINS_DOUBLES)
+    rarms = []
+    for suf, rep, notpre in sorted(T.LOVINS_RESPELL,
+                                   key=lambda x: -len(x[0])):
+        act = f"{_chop('w', len(suf))} || '{rep}'"
+        if notpre:
+            gate = _in(f"substr(w, length(w) - {len(suf)}, 1)",
+                       list(notpre))
+            act = f"CASE WHEN {gate} THEN w ELSE {act} END"
+        rarms.append(f"WHEN ends_with(w, '{suf}') THEN {act}")
+    respell = "CASE " + " ".join(rarms) + " ELSE w END"
+    return f"""xv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+xv1 AS MATERIALIZED (  -- endings: longest with in-among condition
+  SELECT term, {endings} AS w
+  FROM (SELECT term, term AS w FROM xv0)),
+xv2 AS MATERIALIZED (  -- undouble
+  SELECT term,
+    CASE WHEN regexp_matches(w, '({dbl})$')
+         THEN {_chop('w', '1')} ELSE w END AS w
+  FROM xv1),
+stemmap AS MATERIALIZED (  -- respell (gated on preceding char)
+  SELECT term, {respell} AS stem FROM xv2)"""
+
+
 # ---------------------------------------------------------------- Dutch
 
 

@@ -212,9 +212,13 @@ def _r2_de_sql(u: str) -> str:
             f"ELSE length({u}) END)")
 
 
-def _german_ctes() -> str:
+def _german_ctes(sub2: bool = False) -> str:
     """German Snowball as chained CTEs (mirrors
-    analysis/snowball.german_stem; GermanStemmer.cs among tables)."""
+    analysis/snowball.german_stem; GermanStemmer.cs among tables).
+    sub2=True adds the German2 prelude substitution pass (ae/oe/ue ->
+    umlauts, ß -> ss, qu hops the two following chars and aborts the
+    scan when fewer remain) as a sequential recursive CTE, mirroring
+    analysis/snowball.german2_stem / German2Stemmer.cs."""
     from .tables import SB_S_ENDING as _S_ENDING, SB_ST_ENDING as _ST_ENDING
     s_end = ",".join(repr(c) for c in sorted(_S_ENDING))
     st_end = ",".join(repr(c) for c in sorted(_ST_ENDING))
@@ -231,12 +235,36 @@ def _german_ctes() -> str:
         f"THEN substr(w, 1, length(w) - {len(suf)}) ELSE w END"
         for suf in ("est", "en", "er"))
 
-    return f"""
-gv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
-gv1 AS MATERIALIZED (  -- prelude: ss for ß, u/y between vowels marked (3-pass fixpoint)
+    if sub2:
+        # marking first (ß intact), then the sequential substitution
+        prelude = f"""gv1a AS MATERIALIZED (
+  SELECT term, {mark.replace('w', mark.replace('w', mark))} AS w
+  FROM (SELECT term, term AS w FROM gv0)),
+gv1 AS MATERIALIZED (  -- German2 substitution scan (qu hop, ß -> ss)
+  WITH RECURSIVE r(term, acc, rest) AS (
+    SELECT term, '', w FROM gv1a
+    UNION ALL
+    SELECT term,
+      CASE WHEN substr(rest, 1, 2) = 'qu' THEN acc || substr(rest, 1, 4)
+           WHEN substr(rest, 1, 2) = 'ae' THEN acc || 'ä'
+           WHEN substr(rest, 1, 2) = 'oe' THEN acc || 'ö'
+           WHEN substr(rest, 1, 2) = 'ue' THEN acc || 'ü'
+           WHEN substr(rest, 1, 1) = 'ß' THEN acc || 'ss'
+           ELSE acc || substr(rest, 1, 1) END,
+      CASE WHEN substr(rest, 1, 2) = 'qu' THEN substr(rest, 5)
+           WHEN substr(rest, 1, 2) IN ('ae', 'oe', 'ue')
+           THEN substr(rest, 3)
+           ELSE substr(rest, 2) END
+    FROM r WHERE rest <> '')
+  SELECT term, acc AS w FROM r WHERE rest = '')"""
+    else:
+        prelude = f"""gv1 AS MATERIALIZED (  -- prelude: ss for ß, u/y between vowels marked (3-pass fixpoint)
   SELECT term, w FROM (
     SELECT term, {mark.replace('w', mark.replace('w', mark))} AS w
-    FROM (SELECT term, replace(term, 'ß', 'ss') AS w FROM gv0))),
+    FROM (SELECT term, replace(term, 'ß', 'ss') AS w FROM gv0)))"""
+    return f"""
+gv0 AS MATERIALIZED (SELECT DISTINCT term FROM tok_f),
+{prelude},
 gv2 AS MATERIALIZED (SELECT term, w, {_r1_de_sql('w')} AS r1 FROM gv1),
 gv3 AS MATERIALIZED (  -- step 1 (in R1)
   SELECT term,
@@ -329,10 +357,10 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
     stem_ctes = ""
     if stemmer == "english":
         stem_ctes = "," + _porter2_ctes()
-    elif stemmer == "german":
+    elif stemmer in ("german", "german2"):
         from .tables import GERMAN_STOP_WORDS
         stop_sql = ",".join(f"'{w}'" for w in sorted(GERMAN_STOP_WORDS))
-        stem_ctes = "," + _german_ctes()
+        stem_ctes = "," + _german_ctes(sub2=(stemmer == "german2"))
     elif stemmer is not None:
         # round-5 Snowball breadth: standard chain with NO stop set
         # (the contrib ships no stop lists for these languages;
@@ -345,6 +373,7 @@ def base_ctes(table: str = "documents", id_col: str = "doc_id",
             "finnish": snowball_sql.finnish_ctes,
             "romanian": snowball_sql.romanian_ctes,
             "hungarian": snowball_sql.hungarian_ctes,
+            "lovins": snowball_sql.lovins_ctes,
             "dutch": snowball_sql.dutch_ctes,
             "spanish": snowball_sql.spanish_ctes,
             "portuguese": snowball_sql.portuguese_ctes,

@@ -778,6 +778,338 @@ HU_PLUR_OWNER = [('id', ''),
  ('áim', 'a'),
  ('éim', 'e')]
 
+LOVINS_ENDINGS = [("s'", 'A'),
+ ('a', 'A'),
+ ('ia', 'A'),
+ ('ata', 'A'),
+ ('ic', 'A'),
+ ('aic', 'A'),
+ ('allic', 'BB'),
+ ('aric', 'A'),
+ ('atic', 'B'),
+ ('itic', 'H'),
+ ('antic', 'C'),
+ ('istic', 'A'),
+ ('alistic', 'B'),
+ ('aristic', 'A'),
+ ('ivistic', 'A'),
+ ('ed', 'E'),
+ ('anced', 'B'),
+ ('enced', 'A'),
+ ('ished', 'A'),
+ ('ied', 'A'),
+ ('ened', 'E'),
+ ('ioned', 'A'),
+ ('ated', 'I'),
+ ('ented', 'C'),
+ ('ized', 'F'),
+ ('arized', 'A'),
+ ('oid', 'A'),
+ ('aroid', 'A'),
+ ('hood', 'A'),
+ ('ehood', 'A'),
+ ('ihood', 'A'),
+ ('elihood', 'E'),
+ ('ward', 'A'),
+ ('e', 'A'),
+ ('ae', 'A'),
+ ('ance', 'B'),
+ ('icance', 'A'),
+ ('ence', 'A'),
+ ('ide', 'L'),
+ ('icide', 'A'),
+ ('otide', 'A'),
+ ('age', 'B'),
+ ('able', 'A'),
+ ('atable', 'A'),
+ ('izable', 'E'),
+ ('arizable', 'A'),
+ ('ible', 'A'),
+ ('encible', 'A'),
+ ('ene', 'E'),
+ ('ine', 'M'),
+ ('idine', 'I'),
+ ('one', 'R'),
+ ('ature', 'E'),
+ ('eature', 'Z'),
+ ('ese', 'A'),
+ ('wise', 'A'),
+ ('ate', 'A'),
+ ('entiate', 'A'),
+ ('inate', 'A'),
+ ('ionate', 'D'),
+ ('ite', 'AA'),
+ ('ive', 'A'),
+ ('ative', 'A'),
+ ('ize', 'F'),
+ ('alize', 'A'),
+ ('icalize', 'A'),
+ ('ialize', 'A'),
+ ('entialize', 'A'),
+ ('ionalize', 'A'),
+ ('arize', 'A'),
+ ('ing', 'N'),
+ ('ancing', 'B'),
+ ('encing', 'A'),
+ ('aging', 'B'),
+ ('ening', 'E'),
+ ('ioning', 'A'),
+ ('ating', 'I'),
+ ('enting', 'C'),
+ ('ying', 'B'),
+ ('izing', 'F'),
+ ('arizing', 'A'),
+ ('ish', 'C'),
+ ('yish', 'A'),
+ ('i', 'A'),
+ ('al', 'BB'),
+ ('ical', 'A'),
+ ('aical', 'A'),
+ ('istical', 'A'),
+ ('oidal', 'A'),
+ ('eal', 'Y'),
+ ('ial', 'A'),
+ ('ancial', 'A'),
+ ('arial', 'A'),
+ ('ential', 'A'),
+ ('ional', 'A'),
+ ('ational', 'B'),
+ ('izational', 'A'),
+ ('ental', 'A'),
+ ('ful', 'A'),
+ ('eful', 'A'),
+ ('iful', 'A'),
+ ('yl', 'R'),
+ ('ism', 'B'),
+ ('icism', 'A'),
+ ('oidism', 'A'),
+ ('alism', 'B'),
+ ('icalism', 'A'),
+ ('ionalism', 'A'),
+ ('inism', 'J'),
+ ('ativism', 'A'),
+ ('um', 'U'),
+ ('ium', 'A'),
+ ('ian', 'A'),
+ ('ician', 'A'),
+ ('en', 'F'),
+ ('ogen', 'A'),
+ ('on', 'S'),
+ ('ion', 'Q'),
+ ('ation', 'B'),
+ ('ication', 'G'),
+ ('entiation', 'A'),
+ ('ination', 'A'),
+ ('isation', 'A'),
+ ('arisation', 'A'),
+ ('entation', 'A'),
+ ('ization', 'F'),
+ ('arization', 'A'),
+ ('action', 'G'),
+ ('o', 'A'),
+ ('ar', 'X'),
+ ('ear', 'Y'),
+ ('ier', 'A'),
+ ('ariser', 'A'),
+ ('izer', 'F'),
+ ('arizer', 'A'),
+ ('or', 'T'),
+ ('ator', 'A'),
+ ('s', 'W'),
+ ("'s", 'A'),
+ ('as', 'B'),
+ ('ics', 'A'),
+ ('istics', 'A'),
+ ('es', 'E'),
+ ('ances', 'B'),
+ ('ences', 'A'),
+ ('ides', 'L'),
+ ('oides', 'A'),
+ ('ages', 'B'),
+ ('ies', 'P'),
+ ('acies', 'A'),
+ ('ancies', 'A'),
+ ('encies', 'A'),
+ ('aries', 'A'),
+ ('ities', 'A'),
+ ('alities', 'A'),
+ ('ivities', 'A'),
+ ('ines', 'M'),
+ ('nesses', 'A'),
+ ('ates', 'A'),
+ ('atives', 'A'),
+ ('ings', 'N'),
+ ('is', 'A'),
+ ('als', 'BB'),
+ ('ials', 'A'),
+ ('entials', 'A'),
+ ('ionals', 'A'),
+ ('isms', 'B'),
+ ('ians', 'A'),
+ ('icians', 'A'),
+ ('ions', 'B'),
+ ('ations', 'B'),
+ ('arisations', 'A'),
+ ('entations', 'A'),
+ ('izations', 'A'),
+ ('arizations', 'A'),
+ ('ars', 'O'),
+ ('iers', 'A'),
+ ('izers', 'F'),
+ ('ators', 'A'),
+ ('less', 'A'),
+ ('eless', 'A'),
+ ('ness', 'A'),
+ ('eness', 'E'),
+ ('ableness', 'A'),
+ ('eableness', 'E'),
+ ('ibleness', 'A'),
+ ('ateness', 'A'),
+ ('iteness', 'A'),
+ ('iveness', 'A'),
+ ('ativeness', 'A'),
+ ('ingness', 'A'),
+ ('ishness', 'A'),
+ ('iness', 'A'),
+ ('ariness', 'E'),
+ ('alness', 'A'),
+ ('icalness', 'A'),
+ ('antialness', 'A'),
+ ('entialness', 'A'),
+ ('ionalness', 'A'),
+ ('fulness', 'A'),
+ ('lessness', 'A'),
+ ('ousness', 'A'),
+ ('eousness', 'A'),
+ ('iousness', 'A'),
+ ('itousness', 'A'),
+ ('entness', 'A'),
+ ('ants', 'B'),
+ ('ists', 'A'),
+ ('icists', 'A'),
+ ('us', 'V'),
+ ('ous', 'A'),
+ ('eous', 'A'),
+ ('aceous', 'A'),
+ ('antaneous', 'A'),
+ ('ious', 'A'),
+ ('acious', 'B'),
+ ('itous', 'A'),
+ ('ant', 'B'),
+ ('icant', 'A'),
+ ('ent', 'C'),
+ ('ement', 'A'),
+ ('izement', 'A'),
+ ('ist', 'A'),
+ ('icist', 'A'),
+ ('alist', 'A'),
+ ('icalist', 'A'),
+ ('ialist', 'A'),
+ ('ionist', 'A'),
+ ('entist', 'A'),
+ ('y', 'B'),
+ ('acy', 'A'),
+ ('ancy', 'B'),
+ ('ency', 'A'),
+ ('ly', 'B'),
+ ('ealy', 'Y'),
+ ('ably', 'A'),
+ ('ibly', 'A'),
+ ('edly', 'E'),
+ ('iedly', 'A'),
+ ('ely', 'E'),
+ ('ately', 'A'),
+ ('ively', 'A'),
+ ('atively', 'A'),
+ ('ingly', 'B'),
+ ('atingly', 'A'),
+ ('ily', 'A'),
+ ('lily', 'A'),
+ ('arily', 'A'),
+ ('ally', 'B'),
+ ('ically', 'A'),
+ ('aically', 'A'),
+ ('allically', 'C'),
+ ('istically', 'A'),
+ ('alistically', 'B'),
+ ('oidally', 'A'),
+ ('ially', 'A'),
+ ('entially', 'A'),
+ ('ionally', 'A'),
+ ('ationally', 'B'),
+ ('izationally', 'B'),
+ ('entally', 'A'),
+ ('fully', 'A'),
+ ('efully', 'A'),
+ ('ifully', 'A'),
+ ('enly', 'E'),
+ ('arly', 'K'),
+ ('early', 'Y'),
+ ('lessly', 'A'),
+ ('ously', 'A'),
+ ('eously', 'A'),
+ ('iously', 'A'),
+ ('ently', 'A'),
+ ('ary', 'F'),
+ ('ery', 'E'),
+ ('icianry', 'A'),
+ ('atory', 'A'),
+ ('ity', 'A'),
+ ('acity', 'A'),
+ ('icity', 'A'),
+ ('eity', 'A'),
+ ('ality', 'A'),
+ ('icality', 'A'),
+ ('iality', 'A'),
+ ('antiality', 'A'),
+ ('entiality', 'A'),
+ ('ionality', 'A'),
+ ('elity', 'A'),
+ ('ability', 'A'),
+ ('izability', 'A'),
+ ('arizability', 'A'),
+ ('ibility', 'A'),
+ ('inity', 'CC'),
+ ('arity', 'B'),
+ ('ivity', 'A')]
+
+LOVINS_DOUBLES = ('bb', 'dd', 'gg', 'll', 'mm', 'nn', 'pp', 'rr', 'ss', 'tt')
+
+LOVINS_RESPELL = [('uad', 'uas', ''),
+ ('vad', 'vas', ''),
+ ('cid', 'cis', ''),
+ ('lid', 'lis', ''),
+ ('erid', 'eris', ''),
+ ('pand', 'pans', ''),
+ ('end', 'ens', 's'),
+ ('ond', 'ons', ''),
+ ('lud', 'lus', ''),
+ ('rud', 'rus', ''),
+ ('ul', 'l', 'aio'),
+ ('her', 'hes', 'pt'),
+ ('metr', 'meter', ''),
+ ('istr', 'ister', ''),
+ ('urs', 'ur', ''),
+ ('uct', 'uc', ''),
+ ('et', 'es', 'n'),
+ ('mit', 'mis', ''),
+ ('ent', 'ens', 'm'),
+ ('umpt', 'um', ''),
+ ('rpt', 'rb', ''),
+ ('ert', 'ers', ''),
+ ('yt', 'ys', ''),
+ ('iev', 'ief', ''),
+ ('olv', 'olut', ''),
+ ('ax', 'ac', ''),
+ ('ex', 'ec', ''),
+ ('bex', 'bic', ''),
+ ('dex', 'dic', ''),
+ ('pex', 'pic', ''),
+ ('tex', 'tic', ''),
+ ('ix', 'ic', ''),
+ ('lux', 'luc', ''),
+ ('yz', 'ys', '')]
+
 NL_VOWELS = 'aeiouyè'
 
 NL_ACCENTS = {'á': 'a',

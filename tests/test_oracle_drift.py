@@ -87,6 +87,12 @@ def test_snowball_ext_copies_match_engine():
         assert getattr(T, name) == getattr(X, name), name
 
 
+def test_lovins_copies_match_engine():
+    from lucenenet_spark.analysis import lovins as L
+    for name in ("LOVINS_ENDINGS", "LOVINS_DOUBLES", "LOVINS_RESPELL"):
+        assert getattr(T, name) == getattr(L, name), name
+
+
 def test_helper_copies_match_engine():
     from lucenenet_spark.analysis.tokenizers import tokenize_standard
     from lucenenet_spark.functions.numbertools import long_to_string

@@ -99,7 +99,9 @@ TRICKY = [w for w, _ in PORTER2_GOLDEN] + [
 def _sql_stems(words: list[str], lang: str) -> dict[str, str]:
     from lucenenet_spark.oracle.sqlgen import _german_ctes, _porter2_ctes
     lst = ",".join(f"'{w}'" for w in sorted(set(words)))
-    ctes = _porter2_ctes() if lang == "english" else _german_ctes()
+    ctes = {"english": _porter2_ctes,
+            "german": _german_ctes,
+            "german2": lambda: _german_ctes(sub2=True)}[lang]()
     sql = (f"WITH tok_f AS (SELECT unnest([{lst}]) AS term),{ctes} "
            f"SELECT term, stem FROM stemmap")
     return dict(duckdb.connect().execute(sql).fetchall())
@@ -123,6 +125,49 @@ def test_sql_mirror_agrees_german():
     got = _sql_stems(words, "german")
     for w in sorted(set(words)):
         assert got[w] == german_stem(w), w
+
+
+GERMAN2_GOLDEN = [
+    # ae/oe/ue become umlauts before the normal steps + postlude fold
+    ("mueller", "mull"), ("schoen", "schon"), ("kaese", "kas"),
+    # qu protects the following two chars
+    ("quelle", "quell"),
+    # marking runs first: u between vowels never joins a 'ue' pair
+    ("neue", "neu"), ("blaue", "blau"),
+    # ue after a consonant becomes a vowel, changing R1
+    ("true", "tru"),
+    # ß handled by the same scan
+    ("straße", "strass"),
+    # plain words behave exactly like german_stem
+    ("verarbeitung", "verarbeit"), ("häuser", "haus"),
+]
+
+
+@pytest.mark.parametrize("word,want", GERMAN2_GOLDEN)
+def test_german2_golden(word, want):
+    from lucenenet_spark.analysis.snowball import german2_stem
+    assert german2_stem(word) == want
+
+
+def test_german2_plain_words_match_german():
+    """On vocabulary without ae/oe/ue/ß the two variants coincide."""
+    from lucenenet_spark.analysis.snowball import german2_stem
+    for w, _ in GERMAN_GOLDEN:
+        if not any(p in w for p in ("ae", "oe", "ue", "ß")):
+            assert german2_stem(w) == german_stem(w), w
+
+
+def test_sql_mirror_agrees_german2():
+    from lucenenet_spark.analysis.snowball import german2_stem
+    words = ([w for w, _ in GERMAN2_GOLDEN]
+             + [w for w, _ in GERMAN_GOLDEN] + [
+        "aquuae", "quae", "qu", "q", "aeue", "ueue", "aueb",
+        "fraeulein", "goethe", "muede", "gruesse", "suesse",
+        "quaken", "aquarium", "oel", "oele", "baeume",
+    ])
+    got = _sql_stems(words, "german2")
+    for w in sorted(set(words)):
+        assert got[w] == german2_stem(w), w
 
 
 def test_snowball_analyzer_chain():

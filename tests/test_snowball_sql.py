@@ -8,6 +8,7 @@ import duckdb
 import pytest
 
 from lucenenet_spark.analysis import snowball_ext as X
+from lucenenet_spark.analysis.lovins import lovins_stem
 from lucenenet_spark.oracle import snowball_sql as Q
 
 COMMON = [
@@ -79,6 +80,17 @@ WORDS = {
         "képpen", "képp", "ánként", "stul", "éstül", "jaitok",
         "éjük", "ájuk", "köszönöm", "szeretettel", "falujában",
     ],
+    "lovins": COMMON + [
+        "nationally", "sitting", "magnesia", "magnesite",
+        "involution", "believes", "induction", "assumption",
+        "absorption", "matrices", "analyzable", "dangerousness",
+        "happiness", "knees", "keys", "crystallizable", "receivable",
+        "systems", "theses", "thesis", "maximum", "minimum",
+        "alphabetical", "administrable", "symmetrical", "geometry",
+        "parametrize", "suspension", "suspenders", "contender",
+        "ul", "aul", "oul", "her", "pher", "ther", "end", "send",
+        "ent", "ment", "et", "net",
+    ],
     "dutch": COMMON + [
         "lichamelijk", "lichamelijke", "gekken", "gemen", "vuren",
         "huizen", "aardappelen", "heerlijkheden", "baarden",
@@ -138,6 +150,7 @@ CTES = {
     "finnish": Q.finnish_ctes,
     "romanian": Q.romanian_ctes,
     "hungarian": Q.hungarian_ctes,
+    "lovins": Q.lovins_ctes,
     "dutch": Q.dutch_ctes,
     "spanish": Q.spanish_ctes,
     "portuguese": Q.portuguese_ctes,
@@ -151,6 +164,7 @@ STEMS = {
     "finnish": X.finnish_stem,
     "romanian": X.romanian_stem,
     "hungarian": X.hungarian_stem,
+    "lovins": lovins_stem,
     "dutch": X.dutch_stem,
     "spanish": X.spanish_stem,
     "portuguese": X.portuguese_stem,
@@ -203,6 +217,7 @@ ALPHABETS = {
     "finnish": "adehijklmnoprstuvyäö",
     "romanian": "abcdeilmnoprstuvzâîăşţ",
     "hungarian": "abcdegijklmnoprstuvzáéíóõöúûü",
+    "lovins": "abcdefghilmnoprstuvxyz'",
     "dutch": "abcdeghijklmnoprstuvyèáëï",
     "spanish": "abcdeghilmnopqrstuvyáéíóúüñ",
     "portuguese": "abcdeghilmnopqrstuvçãõáéêôí",
